@@ -1,0 +1,142 @@
+"""Device-side primitive ops shared by the pipeline stages.
+
+Conventions:
+  * 64-bit keys are carried as (hi, lo) uint32 pairs — TPU-native lanes,
+    no global x64. key64 = sum(c_i * 4**(w-1-i)) for a w-char window,
+    hi = key64 >> 32, lo = key64 & 0xffffffff.
+  * sorts are jax.lax.sort with num_keys for lexicographic multi-key
+    ordering (stable).
+  * "segments" are runs of equal keys in sorted arrays, marked by a
+    boundary flag at the first element of each run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+def window_keys(x2: jnp.ndarray, w: int):
+    """(hi, lo) uint32 keys of the w-char windows at every position.
+
+    x2: uint8[P] 2-bit codes, already tail-padded so that reads at
+    [p, p+w) are in bounds for p < P - w + 1. Returns arrays of length
+    P - w + 1... no: length len(x2) - w + 1 is awkward for callers;
+    instead the caller passes x2 padded to N + w and we return N keys.
+    """
+    n_out = x2.shape[0] - w + 1
+    hi = jnp.zeros(n_out, dtype=U32)
+    lo = jnp.zeros(n_out, dtype=U32)
+    for i in range(w):
+        c = x2[i : i + n_out].astype(U32)
+        shift = 2 * (w - 1 - i)
+        if shift >= 32:
+            hi = hi | (c << (shift - 32))
+        else:
+            lo = lo | (c << shift)
+    return hi, lo
+
+
+def sort_by_key2(hi, lo, *values):
+    """Sort rows by (hi, lo) lexicographically; returns sorted
+    (hi, lo, *values)."""
+    return jax.lax.sort((hi, lo) + tuple(values), num_keys=2, is_stable=True)
+
+
+def run_boundaries(hi, lo):
+    """bool[n]: True at the first element of each equal-key run."""
+    first = jnp.ones(hi.shape[0], dtype=bool)
+    neq = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    return first.at[1:].set(neq)
+
+
+def segment_ids(boundaries):
+    """int32 run index per element from boundary flags."""
+    return jnp.cumsum(boundaries.astype(jnp.int32)) - 1
+
+
+def searchsorted2(a_hi, a_lo, q_hi, q_lo, side: str = "left"):
+    """Vectorized binary search of (q_hi, q_lo) into the sorted key-pair
+    array (a_hi, a_lo). Equivalent to jnp.searchsorted on the fused
+    64-bit keys. O(log n) gather rounds.
+    """
+    n = a_hi.shape[0]
+    n_iter = max(1, (n + 1).bit_length())
+    lo_b = jnp.zeros(q_hi.shape, dtype=jnp.int32)
+    hi_b = jnp.full(q_hi.shape, n, dtype=jnp.int32)
+
+    def less(kh, kl, qh, ql):
+        if side == "left":
+            # first index where a[i] >= q  -> descend left when a[mid] >= q
+            return (kh > qh) | ((kh == qh) & (kl >= ql))
+        # side == "right": first index where a[i] > q
+        return (kh > qh) | ((kh == qh) & (kl > ql))
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) >> 1
+        mh = a_hi[jnp.minimum(mid, n - 1)]
+        ml = a_lo[jnp.minimum(mid, n - 1)]
+        # positions at/past the end compare as +infinity
+        go_left = (mid >= n) | less(mh, ml, q_hi, q_lo)
+        hi_b = jnp.where(go_left, mid, hi_b)
+        lo_b = jnp.where(go_left, lo_b, mid + 1)
+        return lo_b, hi_b
+
+    lo_b, hi_b = jax.lax.fori_loop(0, n_iter, body, (lo_b, hi_b))
+    return lo_b
+
+
+def ramp_from_sizes(sizes, total: int):
+    """Concatenated [0..s0), [0..s1), ... as int32[total]. sizes must
+    sum to total (static)."""
+    starts = jnp.cumsum(sizes) - sizes
+    idx = jnp.arange(total, dtype=jnp.int32)
+    seg = jnp.searchsorted(jnp.cumsum(sizes), idx, side="right").astype(jnp.int32)
+    return idx - starts[seg], seg
+
+
+def repeat_fill(values, sizes, total: int):
+    """jnp.repeat with static total length."""
+    return jnp.repeat(values, sizes, total_repeat_length=total)
+
+
+def distinct_count_per_segment(seg_ids, values, num_segments: int):
+    """Count distinct `values` per segment. seg_ids must be grouped
+    (sorted); values need not be sorted within segments. Works by
+    sorting (seg, value) pairs and counting pair-boundaries."""
+    order = jax.lax.sort(
+        (seg_ids.astype(jnp.int32), values.astype(jnp.int32)), num_keys=2
+    )
+    s, v = order
+    new = jnp.ones(s.shape[0], dtype=jnp.int32)
+    new = new.at[1:].set(((s[1:] != s[:-1]) | (v[1:] != v[:-1])).astype(jnp.int32))
+    return jax.ops.segment_sum(new, s, num_segments=num_segments)
+
+
+def exclusive_cumsum(x):
+    return jnp.cumsum(x) - x
+
+
+def key2_shift_right2(hi, lo):
+    """(hi, lo) >> 2 on the fused 64-bit key (drop the last 2-bit char)."""
+    return hi >> 2, (hi << 30) | (lo >> 2)
+
+
+def pack_2bit_words(codes: jnp.ndarray):
+    """Pack uint8 2-bit codes into uint32 words, 16 codes/word,
+    first code in bits 31:30 (matching the reference's u64 layout when
+    two consecutive u32 words form one big-endian-within-word u64:
+    u64 word = (w0 << 32) | w1)."""
+    n = codes.shape[0]
+    n_words = (n + 15) // 16
+    padded = jnp.zeros(n_words * 16, dtype=jnp.uint32)
+    padded = padded.at[:n].set(codes.astype(jnp.uint32))
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.uint32))).astype(jnp.uint32)
+    return (padded.reshape(n_words, 16) << shifts[None, :]).sum(
+        axis=1, dtype=jnp.uint32
+    )

@@ -1,22 +1,32 @@
 """Test configuration.
 
 Unit tests run on a virtual 8-device CPU mesh so that multi-chip
-sharding logic is exercised without TPU hardware (the driver separately
-dry-runs the multichip path; real-TPU runs set DEBWT_TESTS_TPU=1).
-Must run before the first `import jax` anywhere in the test session.
+sharding logic is exercised without TPU hardware. The environment's
+axon sitecustomize (PYTHONPATH=/root/.axon_site) force-registers the
+TPU backend at interpreter start, ignoring JAX_PLATFORMS — so when we
+detect it (and the caller didn't ask for TPU via DEBWT_TESTS_TPU=1) we
+re-exec pytest once with a cleaned environment.
 """
 
 import os
 import sys
 
-if os.environ.get("DEBWT_TESTS_TPU", "") != "1":
-    os.environ.setdefault(
-        "XLA_FLAGS",
-        "--xla_force_host_platform_device_count=8",
-    )
-    if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-    os.environ["JAX_PLATFORMS"] = "cpu"
+_WANT_TPU = os.environ.get("DEBWT_TESTS_TPU", "") == "1"
+
+if not _WANT_TPU:
+    if "--xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the
+    # TPU backend and sets jax_platforms="axon,cpu" at interpreter
+    # start; flip the config to cpu-only before any device is used.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__)))

@@ -1,0 +1,146 @@
+"""Per-stage device tests against the NumPy model trace and unit tests
+of the device primitives."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debwt_tpu import count, ops
+from debwt_tpu.model import build_model
+from debwt_tpu.special import build_special, rank_suffixes
+from debwt_tpu.types import SequenceCollection
+
+
+@pytest.fixture
+def coll():
+    rng = np.random.default_rng(0)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 160))))
+        for _ in range(5)
+    ]
+    return SequenceCollection.from_reads(reads)
+
+
+def test_searchsorted2_vs_numpy(rng):
+    a64 = np.sort(rng.integers(0, 2**63, size=777).astype(np.uint64))
+    q64 = np.concatenate(
+        [
+            rng.integers(0, 2**63, size=300).astype(np.uint64),
+            a64[rng.integers(0, 777, 150)],
+            np.array([0, a64[-1], np.iinfo(np.uint64).max], dtype=np.uint64),
+        ]
+    )
+    ah = (a64 >> np.uint64(32)).astype(np.uint32)
+    al = (a64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    qh = (q64 >> np.uint64(32)).astype(np.uint32)
+    ql = (q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for side in ("left", "right"):
+        got = np.asarray(
+            ops.searchsorted2(
+                jnp.asarray(ah), jnp.asarray(al), jnp.asarray(qh),
+                jnp.asarray(ql), side,
+            )
+        )
+        assert (got == np.searchsorted(a64, q64, side=side)).all()
+
+
+def test_window_keys_match_host(coll):
+    from debwt_tpu.special import key_of_window
+
+    k = 31
+    N = coll.bwt_len
+    x2p = np.concatenate([coll.x2, np.full(32, 3, dtype=np.uint8)])
+    hi, lo = ops.window_keys(jnp.asarray(x2p[: N + k - 1]), k)
+    key = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        lo
+    ).astype(np.uint64)
+    want = key_of_window(x2p, np.arange(N, dtype=np.int64), k)
+    assert (key == want).all()
+
+
+def test_distance_to_separator(coll):
+    N = coll.bwt_len
+    d = np.asarray(
+        count.distance_to_separator(
+            jnp.asarray(coll.sep.astype(np.int32)), jnp.zeros(N, jnp.int32)
+        )
+    )
+    nxt = np.searchsorted(coll.sep, np.arange(N))
+    assert (d == coll.sep[nxt] - np.arange(N)).all()
+
+
+def test_edges_match_host(coll):
+    m = 32
+    N, n = coll.bwt_len, coll.n_reads
+    x2p = np.concatenate([coll.x2, np.full(32, 3, dtype=np.uint8)])
+    dist = count.distance_to_separator(
+        jnp.asarray(coll.sep.astype(np.int32)), jnp.zeros(N, jnp.int32)
+    )
+    e_hi, e_lo, e_pos = count.extract_and_sort_edges(
+        jnp.asarray(x2p), dist, m, N - n * m
+    )
+    e64 = (np.asarray(e_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        e_lo
+    ).astype(np.uint64)
+    nxt = np.searchsorted(coll.sep, np.arange(N))
+    disth = coll.sep[nxt] - np.arange(N)
+    mainp = np.nonzero(disth >= m)[0]
+    want = np.zeros(len(mainp), dtype=np.uint64)
+    for i in range(m):
+        want = (want << np.uint64(2)) | x2p[mainp + i].astype(np.uint64)
+    assert (np.sort(want) == e64).all()
+    assert (np.diff(e64.astype(object)) >= 0).all()
+
+
+def test_sp_stream_matches_model(coll):
+    from debwt_tpu.pipeline import build_bwt
+    from debwt_tpu.types import PipelineConfig
+
+    _, tr = build_model(coll, m=32, trace=True)
+    # rebuild the SP stream through the device path
+    from debwt_tpu import classify, spcode
+
+    m, k = 32, 31
+    N, n = coll.bwt_len, coll.n_reads
+    sp = build_special(coll, m)
+    x2p = np.concatenate([coll.x2, np.full(32, 3, dtype=np.uint8)])
+    dist = count.distance_to_separator(
+        jnp.asarray(coll.sep.astype(np.int32)), jnp.zeros(N, jnp.int32)
+    )
+    e_hi, e_lo, _ = count.extract_and_sort_edges(
+        jnp.asarray(x2p), dist, m, N - n * m
+    )
+    s64 = lambda a: (
+        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    th, tl = s64(sp.tail_keys)
+    hh, hl = s64(sp.head_keys)
+    node_hi, node_lo, cnt, mi, mo, pred, num = classify.build_node_table(
+        e_hi, e_lo, th, tl, hh, hl, k, N - n * m + n + 1
+    )
+    mask = np.zeros(N, dtype=bool)
+    mask[sp.spec_branch_pos] = True
+    is_sp, is_blue, node_id = spcode.classify_positions(
+        jnp.asarray(x2p), dist, node_hi, node_lo, mi, mo, jnp.asarray(mask), k
+    )
+    sp_pos = np.nonzero(np.asarray(is_sp))[0]
+    assert (sp_pos == tr.sp_positions).all()
+    L = len(sp_pos)
+    sp_posd, sp6, *_ = spcode.build_sp_and_blue(
+        jnp.asarray(x2p), dist, is_sp, is_blue, node_id,
+        jnp.asarray(coll.sep.astype(np.int32)), k, L, max(1, int(np.asarray(is_blue).sum())), n,
+    )
+    assert (np.asarray(sp6)[:L] == tr.sp6).all()
+
+
+def test_rank_suffixes_true_order(rng):
+    # rank_suffixes against a brute-force sort
+    x = rng.integers(0, 4, size=500).astype(np.uint8)
+    x[-1] = 5
+    positions = rng.choice(500, size=60, replace=False).astype(np.int64)
+    r = rank_suffixes(np.concatenate([x, np.full(32, 3, np.uint8)]), positions, 500)
+    order = sorted(range(60), key=lambda i: list(x[positions[i]:]))
+    want = np.empty(60, dtype=np.int64)
+    want[order] = np.arange(60)
+    assert (r == want).all()
