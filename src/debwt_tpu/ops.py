@@ -66,8 +66,13 @@ def searchsorted2(a_hi, a_lo, q_hi, q_lo, side: str = "left"):
     """
     n = a_hi.shape[0]
     n_iter = max(1, (n + 1).bit_length())
-    lo_b = jnp.zeros(q_hi.shape, dtype=jnp.int32)
-    hi_b = jnp.full(q_hi.shape, n, dtype=jnp.int32)
+    # derive the carries from the operands so their device-varying type
+    # matches under shard_map (fresh constants are "unvarying")
+    zero = (q_hi & jnp.uint32(0)).astype(jnp.int32) + (
+        a_hi[0] & jnp.uint32(0)
+    ).astype(jnp.int32)
+    lo_b = zero
+    hi_b = zero + n
 
     def less(kh, kl, qh, ql):
         if side == "left":

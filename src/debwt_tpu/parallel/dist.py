@@ -1,0 +1,639 @@
+"""Multi-chip distributed BWT construction (shard_map over a 1-D mesh).
+
+Layout (see parallel/mesh.py):
+  * the text is sharded by contiguous position ranges (one shard per
+    chip, with an m+pad forward halo and a 1-char back halo);
+  * the k-mer/node key space is sharded by leading key bits; every chip
+    owns one contiguous key range and therefore one contiguous segment
+    of the final BWT (group order == key order).
+
+Collective structure per stage (all traffic rides lax.all_to_all /
+all_gather over the mesh axis, i.e. ICI on real slices):
+
+  S0  per-shard edge histograms by destination          (sizing only)
+  S1  edges routed to key owners (prefix- and suffix-routed copies);
+      local node tables; unit merge with specials; global coordinates
+      via an exclusive scan of per-chip segment sizes
+  S1b flags for each edge position routed straight back through the
+      same slot structure (the response of the S1 exchange)
+  S2  text-side classification: SP stream + blue entries; global SP
+      indices by scanning per-chip SP counts
+  S2b the (tiny) SP string all_gathered; suffix ranks computed
+      replicated (sharded doubling is a later optimization)
+  S3  blue entries routed to their node owners; per-owner ordering and
+      segment assembly; segments gathered to host
+
+Static capacities for the exchanges are sized from the S0 histograms
+(power-of-two rounded) — the distributed analogue of the reference's
+bucket prefix-sums (src/mySort.c:98-110).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from debwt_tpu import constants as K
+from debwt_tpu import ops
+from debwt_tpu.pipeline import BwtResult, _pow2, _split64
+from debwt_tpu.special import build_special
+from debwt_tpu.types import PipelineConfig, SequenceCollection
+from debwt_tpu.bluesort import sp_suffix_ranks
+
+I32 = jnp.int32
+U32 = jnp.uint32
+KEY_MAX = jnp.uint32(0xFFFFFFFF)
+
+shard_map = jax.shard_map
+
+
+def _top16(hi, lo, nbits: int):
+    """Top 16 bits of an nbits-wide right-aligned key pair."""
+    s = nbits - 16
+    if s >= 32:
+        return (hi >> (s - 32)) & jnp.uint32(0xFFFF)
+    if s > 0:
+        return ((hi << (32 - s)) | (lo >> s)) & jnp.uint32(0xFFFF)
+    return (lo << (-s)) & jnp.uint32(0xFFFF)
+
+
+def _dest(hi, lo, nbits: int, n: int):
+    return ((_top16(hi, lo, nbits).astype(I32)) * n) >> 16
+
+
+def _edge_keys_local(x2, dist, m: int):
+    """Window keys + validity for one text shard (x2 includes the
+    forward halo)."""
+    Ns = dist.shape[0]
+    hi, lo = ops.window_keys(x2[: Ns + m - 1], m)
+    valid = dist >= m
+    return hi, lo, valid
+
+
+def _suffix_key(e_hi, e_lo, k: int):
+    if 2 * k >= 32:
+        return e_hi & ((jnp.uint32(1) << (2 * k - 32)) - jnp.uint32(1)), e_lo
+    return jnp.zeros_like(e_hi), e_lo & ((jnp.uint32(1) << (2 * k)) - jnp.uint32(1))
+
+
+def _first_char(e_hi, e_lo, k: int):
+    if 2 * k >= 32:
+        return ((e_hi >> (2 * k - 32)) & 3).astype(I32)
+    return ((e_lo >> (2 * k)) & 3).astype(I32)
+
+
+def _pack_by_dest(dest, valid, cap: int, n: int, *payload):
+    """Pack rows into (n, cap) slots by destination. Invalid rows and
+    overflow are dropped; payload arrays get caller-chosen fill."""
+    outs = []
+    Ns = dest.shape[0]
+    # slot index of each row within its destination bucket
+    order = jnp.argsort(jnp.where(valid, dest, n), stable=True)
+    d_sorted = jnp.where(valid, dest, n)[order]
+    idx = jnp.arange(Ns, dtype=I32)
+    first = jnp.ones(Ns, dtype=bool).at[1:].set(d_sorted[1:] != d_sorted[:-1])
+    seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
+    within = idx - seg_start
+    flat = d_sorted * cap + jnp.minimum(within, cap - 1)
+    ok = (d_sorted < n) & (within < cap)
+    flat = jnp.where(ok, flat, n * cap)
+    for arr, fill in payload:
+        buf = jnp.full((n * cap,), fill, dtype=arr.dtype)
+        buf = buf.at[flat].set(arr[order], mode="drop")
+        outs.append(buf.reshape(n, cap))
+    return outs
+
+
+def _a2a(x):
+    return jax.lax.all_to_all(x, "d", split_axis=0, concat_axis=0, tiled=False)
+
+
+def _exclusive_scan_over_devices(total):
+    """Per-device exclusive prefix sum of a scalar across the axis."""
+    ag = jax.lax.all_gather(total, "d")  # (n,)
+    r = jax.lax.axis_index("d")
+    mask = jnp.arange(ag.shape[0]) < r
+    return jnp.sum(jnp.where(mask, ag, 0)), jnp.sum(ag)
+
+
+def dist_build_bwt(
+    coll: SequenceCollection,
+    config: PipelineConfig | None = None,
+    mesh: Mesh | None = None,
+) -> BwtResult:
+    config = config or PipelineConfig()
+    m, k = config.m, config.k
+    if mesh is None:
+        from debwt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    n = mesh.devices.size
+    N = coll.bwt_len
+    n_reads = coll.n_reads
+    sp = build_special(coll, m)
+
+    Ns = -(-N // n)
+    HALO = m + K.TAIL_PAD
+    x2_full = np.concatenate(
+        [coll.x2, np.full(n * Ns - N + HALO, K.T, dtype=np.uint8)]
+    )
+    x2_sh = np.stack([x2_full[r * Ns : r * Ns + Ns + HALO] for r in range(n)])
+    # distances (padding positions get -1: never main, never special)
+    nxt = np.searchsorted(coll.sep, np.arange(N))
+    dist_full = np.full(n * Ns, -1, dtype=np.int32)
+    dist_full[:N] = (coll.sep[nxt] - np.arange(N)).astype(np.int32)
+    dist_sh = dist_full.reshape(n, Ns)
+    prev_char = np.zeros(n, dtype=np.uint8)
+    prev_is_sep = np.zeros(n, dtype=bool)
+    for r in range(1, n):
+        p = r * Ns - 1
+        if p < N:
+            prev_char[r] = coll.x2[p]
+            prev_is_sep[r] = dist_full[p] == 0
+    spec_branch = np.zeros(n * Ns, dtype=bool)
+    spec_branch[sp.spec_branch_pos] = True
+    spec_branch_sh = spec_branch.reshape(n, Ns)
+
+    # replicated small arrays
+    tail_hi, tail_lo = _split64(sp.tail_keys)
+    head_hi, head_lo = _split64(sp.head_keys)
+    s_hi, s_lo = _split64(sp.spec_tfill)
+    n_spec = sp.spec_tfill.shape[0]
+
+    sharding = NamedSharding(mesh, P("d"))
+    rep = NamedSharding(mesh, P())
+    dev = lambda a, s=sharding: jax.device_put(jnp.asarray(a), s)
+    x2_d = dev(x2_sh)
+    dist_d = dev(dist_sh)
+    sb_d = dev(spec_branch_sh)
+    pc_d = dev(prev_char)
+    ps_d = dev(prev_is_sep)
+    th, tl = dev(tail_hi, rep), dev(tail_lo, rep)
+    hh, hl = dev(head_hi, rep), dev(head_lo, rep)
+    sh_, sl_ = dev(s_hi, rep), dev(s_lo, rep)
+
+    # ---------------- S0: histograms ----------------
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d")), out_specs=(P("d"), P("d")),
+    )
+    def s0(x2, dist):
+        x2, dist = x2[0], dist[0]
+        e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
+        d1 = _dest(e_hi, e_lo, 2 * m, n)
+        sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
+        d2 = _dest(sk_hi, sk_lo, 2 * k, n)
+        h1 = jnp.bincount(jnp.where(valid, d1, n), length=n + 1)[:n]
+        h2 = jnp.bincount(jnp.where(valid, d2, n), length=n + 1)[:n]
+        return h1[None], h2[None]
+
+    h1, h2 = s0(x2_d, dist_d)
+    cap_e = _pow2(max(1, int(np.asarray(h1).max()), int(np.asarray(h2).max())))
+    cap_n = n * cap_e + n_reads + 1
+
+    # ---------------- S1: exchange + node tables + coordinates ----------------
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P(), P(), P(), P(), P()),
+        out_specs=(
+            P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+            P("d"), P("d"), P("d"), P("d"), P("d"),
+        ),
+    )
+    def s1(x2, dist, th, tl, hh, hl, sh_, sl_):
+        x2, dist = x2[0], dist[0]
+        r = jax.lax.axis_index("d")
+        e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
+        Ns_l = dist.shape[0]
+        gpos = r * Ns_l + jnp.arange(Ns_l, dtype=I32)
+        # prefix-routed exchange (carry position)
+        d1 = _dest(e_hi, e_lo, 2 * m, n)
+        ph, pl, ppos = _pack_by_dest(
+            d1, valid, cap_e, n,
+            (e_hi, KEY_MAX), (e_lo, KEY_MAX), (gpos, jnp.int32(-1)),
+        )
+        ph, pl, ppos = _a2a(ph), _a2a(pl), _a2a(ppos)
+        # keep slot structure for the response; also build sorted copy
+        fh, fl, fpos = ph.reshape(-1), pl.reshape(-1), ppos.reshape(-1)
+        sh1, sl1, spos1 = ops.sort_by_key2(fh, fl, fpos)
+        # suffix-routed exchange (carry first char)
+        sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
+        fc = _first_char(e_hi, e_lo, k)
+        d2 = _dest(sk_hi, sk_lo, 2 * k, n)
+        qh, ql, qc = _pack_by_dest(
+            d2, valid, cap_e, n,
+            (sk_hi, KEY_MAX), (sk_lo, KEY_MAX), (fc, jnp.int32(4)),
+        )
+        qh, ql, qc = _a2a(qh), _a2a(ql), _a2a(qc)
+        sh2, sl2, sc2 = ops.sort_by_key2(
+            qh.reshape(-1), ql.reshape(-1), qc.reshape(-1)
+        )
+
+        # ---- local node table over owned key range ----
+        E_l = sh1.shape[0]
+        p_hi, p_lo = ops.key2_shift_right2(sh1, sl1)
+        # sentinel edges keep KEY_MAX after shift's high bits? shift of
+        # KEY_MAX pair gives 0x3FFFFFFF... — restore sentinels
+        is_pad1 = (sh1 == KEY_MAX) & (sl1 == KEY_MAX)
+        p_hi = jnp.where(is_pad1, KEY_MAX, p_hi)
+        p_lo = jnp.where(is_pad1, KEY_MAX, p_lo)
+        pb = ops.run_boundaries(p_hi, p_lo)
+        pseg = ops.segment_ids(pb)
+        occ_cnt = jax.ops.segment_sum(
+            jnp.where(is_pad1, 0, 1).astype(I32), pseg, num_segments=E_l
+        )
+        last_char = (sl1 & 3).astype(I32)
+        ext_distinct = ops.distinct_count_per_segment(
+            pseg, jnp.where(is_pad1, 5, last_char), E_l
+        )
+        pk_hi = jnp.full(E_l, KEY_MAX).at[pseg].set(p_hi)
+        pk_lo = jnp.full(E_l, KEY_MAX).at[pseg].set(p_lo)
+
+        is_pad2 = (sh2 == KEY_MAX) & (sl2 == KEY_MAX)
+        sb_ = ops.run_boundaries(sh2, sl2)
+        sseg = ops.segment_ids(sb_)
+        in_distinct = ops.distinct_count_per_segment(
+            sseg, jnp.where(is_pad2, 5, sc2), E_l
+        )
+        pred_of_seg = jax.ops.segment_min(
+            jnp.where(is_pad2, 4, sc2), sseg, num_segments=E_l
+        )
+        sk2_hi = jnp.full(E_l, KEY_MAX).at[sseg].set(sh2)
+        sk2_lo = jnp.full(E_l, KEY_MAX).at[sseg].set(sl2)
+
+        # owned tails/heads
+        town = _dest(th, tl, 2 * k, n) == r
+        hown = _dest(hh, hl, 2 * k, n) == r
+        th_o = jnp.where(town, th, KEY_MAX)
+        tl_o = jnp.where(town, tl, KEY_MAX)
+        th_o, tl_o = jax.lax.sort((th_o, tl_o), num_keys=2)
+
+        u_hi = jnp.concatenate([pk_hi, th_o])
+        u_lo = jnp.concatenate([pk_lo, tl_o])
+        u_hi, u_lo = ops.sort_by_key2(u_hi, u_lo)
+        ub = ops.run_boundaries(u_hi, u_lo)
+        useg = ops.segment_ids(ub)
+        node_hi = jnp.full(cap_n, KEY_MAX).at[useg].set(u_hi, mode="drop")
+        node_lo = jnp.full(cap_n, KEY_MAX).at[useg].set(u_lo, mode="drop")
+        node_valid = ~((node_hi == KEY_MAX) & (node_lo == KEY_MAX))
+
+        def join(a_hi, a_lo, values, default):
+            idx = ops.searchsorted2(a_hi, a_lo, node_hi, node_lo, "left")
+            idx_c = jnp.minimum(idx, a_hi.shape[0] - 1)
+            hit = (a_hi[idx_c] == node_hi) & (a_lo[idx_c] == node_lo)
+            return jnp.where(hit & node_valid, values[idx_c], default)
+
+        cnt_pref = join(pk_hi, pk_lo, occ_cnt, 0)
+        ext_d = join(pk_hi, pk_lo, ext_distinct, 0)
+        in_d = join(sk2_hi, sk2_lo, in_distinct, 0)
+        pred = join(sk2_hi, sk2_lo, pred_of_seg, 0).astype(jnp.uint8)
+        t_l = ops.searchsorted2(th_o, tl_o, node_hi, node_lo, "left")
+        t_r = ops.searchsorted2(th_o, tl_o, node_hi, node_lo, "right")
+        tail_mult = jnp.where(node_valid, (t_r - t_l).astype(I32), 0)
+        hh_o = jnp.where(hown, hh, KEY_MAX)
+        hl_o = jnp.where(hown, hl, KEY_MAX)
+        hh_o, hl_o = jax.lax.sort((hh_o, hl_o), num_keys=2)
+        h_idx = ops.searchsorted2(hh_o, hl_o, node_hi, node_lo, "left")
+        h_c = jnp.minimum(h_idx, hh_o.shape[0] - 1)
+        head_member = (
+            (hh_o[h_c] == node_hi) & (hl_o[h_c] == node_lo) & node_valid
+        )
+        cnt = jnp.where(node_valid, cnt_pref + tail_mult, 0)
+        multi_out = node_valid & ((ext_d >= 2) | (tail_mult > 0))
+        multi_in = node_valid & ((in_d >= 2) | head_member)
+
+        # ---- units + global coordinates ----
+        sown = _dest(sh_, sl_, 2 * k, n) == r
+        su_hi = jnp.where(sown, sh_, KEY_MAX)
+        su_lo = jnp.where(sown, sl_, KEY_MAX)
+        u2_hi = jnp.concatenate([node_hi, su_hi])
+        u2_lo = jnp.concatenate([node_lo, su_lo])
+        is_spec = jnp.concatenate(
+            [jnp.zeros(cap_n, I32), jnp.ones(n_spec, I32)]
+        )
+        size = jnp.concatenate(
+            [cnt, jnp.where(sown, 1, 0).astype(I32)]
+        )
+        src = jnp.arange(cap_n + n_spec, dtype=I32)
+        u2_hi, u2_lo, is_spec_s, size_s, src_s = jax.lax.sort(
+            (u2_hi, u2_lo, is_spec, size, src), num_keys=3, is_stable=True
+        )
+        local_total = jnp.sum(size_s)
+        base, _grand = _exclusive_scan_over_devices(local_total)
+        start = ops.exclusive_cumsum(size_s) + base
+        node_sel = src_s < cap_n
+        node_start = jnp.zeros(cap_n, I32).at[
+            jnp.where(node_sel, src_s, cap_n)
+        ].set(start.astype(I32), mode="drop")
+        spec_bwtpos = jnp.full(n_spec, -1, I32).at[
+            jnp.where(node_sel, n_spec, src_s - cap_n)
+        ].set(start.astype(I32), mode="drop")
+        spec_bwtpos = jnp.where(sown, spec_bwtpos, -1)
+
+        # ---- flag responses through the original slot structure ----
+        # slot entries are EDGE keys; node key = edge >> 2
+        eh_s, el_s = ph.reshape(-1), pl.reshape(-1)
+        nh_s, nl_s = ops.key2_shift_right2(eh_s, el_s)
+        pad_s = (eh_s == KEY_MAX) & (el_s == KEY_MAX)
+        nh_s = jnp.where(pad_s, KEY_MAX, nh_s)
+        nl_s = jnp.where(pad_s, KEY_MAX, nl_s)
+        nid_slot = jnp.minimum(
+            ops.searchsorted2(node_hi, node_lo, nh_s, nl_s, "left"),
+            cap_n - 1,
+        )
+        mi_resp = (multi_in[nid_slot] & ~pad_s).reshape(n, cap_e)
+        mo_resp = (multi_out[nid_slot] & ~pad_s).reshape(n, cap_e)
+        # node reference: owner in high bits, local index in low bits
+        ref_resp = jnp.where(
+            pad_s, -1, nid_slot * n + r
+        ).astype(I32).reshape(n, cap_e)
+        mi_b = _a2a(mi_resp)
+        mo_b = _a2a(mo_resp)
+        ref_b = _a2a(ref_resp)
+        pos_b = _a2a(ppos)  # positions echo back in the same slots
+
+        return (
+            node_hi[None], node_lo[None], cnt[None], multi_in[None],
+            multi_out[None], pred[None], node_start[None],
+            spec_bwtpos[None], mi_b[None], mo_b[None], ref_b[None],
+            pos_b[None],
+        )
+
+    (node_hi, node_lo, cnt, multi_in, multi_out, pred, node_start,
+     spec_bwtpos, mi_b, mo_b, ref_b, pos_b) = s1(
+        x2_d, dist_d, th, tl, hh, hl, sh_, sl_
+    )
+
+    # tail-position flags: flags of the n_reads tail nodes, combined
+    # across owners on host (tiny)
+    tflags = _gather_key_flags(
+        mesh, node_hi, node_lo, multi_in, multi_out, tail_hi, tail_lo, n
+    )
+
+    # ---------------- S2: text-side classification ----------------
+    spec_bwtpos_h = np.asarray(jax.device_get(spec_bwtpos))
+    spec_bwtpos_comb = spec_bwtpos_h.max(axis=0)  # owners hold >=0, rest -1
+    assert (spec_bwtpos_comb >= 0).all()
+
+    tail_mi, tail_mo, tail_ref = tflags
+    # map tail positions -> per-shard arrays
+    tailpos_full = np.full(n * Ns, -1, dtype=np.int64)
+    tp = coll.sep - k
+    tail_flag_mi = np.zeros(n * Ns, dtype=bool)
+    tail_flag_mi[tp] = tail_mi
+    tail_ref_full = np.full(n * Ns, -1, dtype=np.int32)
+    tail_ref_full[tp] = tail_ref
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+            P("d"), P("d"),
+        ),
+        out_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
+    )
+    def s2(x2, dist, sbm, mi_b, mo_b, ref_b, pos_b, t_mi, t_ref):
+        x2, dist, sbm = x2[0], dist[0], sbm[0]
+        mi_b, mo_b, ref_b, pos_b = mi_b[0], mo_b[0], ref_b[0], pos_b[0]
+        t_mi, t_ref = t_mi[0], t_ref[0]
+        r = jax.lax.axis_index("d")
+        Ns_l = dist.shape[0]
+        local = (pos_b.reshape(-1) - r * Ns_l).astype(I32)
+        okp = pos_b.reshape(-1) >= 0
+        tgt = jnp.where(okp, local, Ns_l)
+        mi_pos = jnp.zeros(Ns_l, bool).at[tgt].set(
+            mi_b.reshape(-1), mode="drop"
+        )
+        mo_pos = jnp.zeros(Ns_l, bool).at[tgt].set(
+            mo_b.reshape(-1), mode="drop"
+        )
+        ref_pos = jnp.full(Ns_l, -1, I32).at[tgt].set(
+            ref_b.reshape(-1), mode="drop"
+        )
+        # merge tail-position flags (tails are multi-out by definition;
+        # their multi_in/node-ref come from the owner gather)
+        is_tailp = dist == k
+        mi_pos = jnp.where(is_tailp, t_mi, mi_pos)
+        mo_pos = jnp.where(is_tailp, True, mo_pos)
+        ref_pos = jnp.where(is_tailp, t_ref, ref_pos)
+        is_main = dist >= k
+        is_sp = (is_main & mo_pos) | sbm
+        is_blue = is_main & mi_pos
+        l_sp = jnp.sum(is_sp.astype(I32))
+        l_blue = jnp.sum(is_blue.astype(I32))
+        return (
+            is_sp[None], is_blue[None], ref_pos[None],
+            l_sp[None], l_blue[None],
+        )
+
+    is_sp_d, is_blue_d, ref_pos_d, l_sp_d, l_blue_d = s2(
+        x2_d, dist_d, sb_d, mi_b, mo_b, ref_b, pos_b,
+        dev(tail_flag_mi.reshape(n, Ns)), dev(tail_ref_full.reshape(n, Ns)),
+    )
+    l_sp_h = np.asarray(jax.device_get(l_sp_d))
+    l_blue_h = np.asarray(jax.device_get(l_blue_d))
+    cap_sp = _pow2(max(1, int(l_sp_h.max())))
+    cap_blue = _pow2(max(1, int(l_blue_h.max())))
+    L_total = int(l_sp_h.sum())
+
+    # ---------------- S2b: SP stream + blue messages ----------------
+    dollar_sp_pos = N - 1 - k
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+        ),
+        out_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
+    )
+    def s2b(x2, dist, is_sp, is_blue, ref_pos, l_sp, pc, ps):
+        x2, dist = x2[0], dist[0]
+        is_sp, is_blue, ref_pos = is_sp[0], is_blue[0], ref_pos[0]
+        pc, ps = pc[0], ps[0]
+        r = jax.lax.axis_index("d")
+        Ns_l = dist.shape[0]
+        sp_base, _L = _exclusive_scan_over_devices(l_sp[0])
+        (spi,) = jnp.nonzero(is_sp, size=cap_sp, fill_value=Ns_l)
+        spi = spi.astype(I32)
+        at = jnp.minimum(spi + k, x2.shape[0] - 1)
+        base_c = x2[at].astype(jnp.uint8)
+        d_at = dist[jnp.minimum(spi, Ns_l - 1)]
+        gpos = r * Ns_l + spi
+        is_sepc = d_at == k
+        is_dollar = is_sepc & (gpos == dollar_sp_pos)
+        sp6 = jnp.where(
+            is_sepc, jnp.where(is_dollar, 5, 4), base_c
+        ).astype(jnp.uint8)
+        sp6 = jnp.where(jnp.arange(cap_sp) < l_sp[0], sp6, 0)
+
+        (bli,) = jnp.nonzero(is_blue, size=cap_blue, fill_value=Ns_l)
+        bli = bli.astype(I32)
+        bval = jnp.arange(cap_blue) < jnp.sum(is_blue.astype(I32))
+        # spidx: local searchsorted + base (next shard's first event if
+        # past the local tail)
+        sidx = jnp.searchsorted(spi[: cap_sp], bli, side="left").astype(I32)
+        sidx = jnp.minimum(sidx, l_sp[0]) + sp_base
+        ref = ref_pos[jnp.minimum(bli, Ns_l - 1)]
+        prev = jnp.maximum(bli - 1, 0)
+        pchar = jnp.where(bli == 0, pc, x2[prev]).astype(jnp.uint8)
+        prev_sep = jnp.where(bli == 0, ps, dist[prev] == 0)
+        gbl = r * Ns_l + bli
+        char6 = jnp.where(
+            gbl == 0,
+            jnp.uint8(5),
+            jnp.where(prev_sep, jnp.uint8(4), pchar),
+        )
+        # route to node owner = ref % n
+        owner = jnp.where(bval, ref % n, n)
+        b_ref, b_sidx, b_char = _pack_by_dest(
+            owner, bval, cap_blue, n,
+            (ref, jnp.int32(-1)), (sidx, jnp.int32(0)),
+            (char6, jnp.uint8(0)),
+        )
+        b_ref = _a2a(b_ref)
+        b_sidx = _a2a(b_sidx)
+        b_char = _a2a(b_char)
+        return sp6[None], b_ref[None], b_sidx[None], b_char[None], sp_base[None]
+
+    sp6_d, b_ref_d, b_sidx_d, b_char_d, _sp_base = s2b(
+        x2_d, dist_d, is_sp_d, is_blue_d, ref_pos_d,
+        l_sp_d, pc_d, ps_d,
+    )
+
+    # gather the SP string (compact) and rank it (replicated)
+    sp6_h = np.asarray(jax.device_get(sp6_d))
+    sp6_full = np.concatenate(
+        [sp6_h[r, : l_sp_h[r]] for r in range(n)]
+    )
+    assert sp6_full.shape[0] == L_total
+    Lc = _pow2(max(1, L_total))
+    sp6_ext = np.zeros(2 * Lc, dtype=np.uint8)
+    sp6_ext[:L_total] = sp6_full
+    sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext))[: Lc]
+
+    # ---------------- S3: order + assemble segments ----------------
+    seg_sizes_h = None
+    # per-device segment size = sum of its unit sizes
+    cnt_h = np.asarray(jax.device_get(cnt))
+    spec_owned = (spec_bwtpos_h >= 0)
+    seg_sizes = cnt_h.sum(axis=1) + spec_owned.sum(axis=1)
+    cap_seg = _pow2(max(1, int(seg_sizes.max())))
+
+    spec_char_rep = dev(sp.spec_bwt6, rep)
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+            P("d"), P(), P(),
+        ),
+        out_specs=(P("d"), P("d")),
+    )
+    def s3(node_start, cnt, multi_in, pred, spec_bwtpos, b_ref, b_sidx,
+           b_char, sp_rank_r, spec_char):
+        node_start, cnt, multi_in, pred = (
+            node_start[0], cnt[0], multi_in[0], pred[0]
+        )
+        spec_bwtpos = spec_bwtpos[0]
+        b_ref, b_sidx, b_char = (
+            b_ref[0].reshape(-1), b_sidx[0].reshape(-1), b_char[0].reshape(-1)
+        )
+        local_total = jnp.sum(cnt) + jnp.sum(spec_bwtpos >= 0)
+        base, _ = _exclusive_scan_over_devices(local_total)
+        # blue ordering
+        val = b_ref >= 0
+        nid = jnp.where(val, b_ref // n, cap_n)
+        rank = sp_rank_r[jnp.minimum(b_sidx, sp_rank_r.shape[0] - 1)]
+        nid_s, _, char_s = jax.lax.sort(
+            (nid, rank, b_char.astype(I32)), num_keys=2
+        )
+        Bl = nid.shape[0]
+        idx = jnp.arange(Bl, dtype=I32)
+        first = jnp.ones(Bl, bool).at[1:].set(nid_s[1:] != nid_s[:-1])
+        seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
+        within = idx - seg_start
+        ns_ext = jnp.concatenate([node_start, jnp.full(1, -(10**9), I32)])
+        bpos = ns_ext[jnp.minimum(nid_s, cap_n)] + within - base
+        # assemble
+        seg = jnp.zeros(cap_seg, jnp.uint8)
+        case2_size = jnp.where(multi_in, 0, cnt)
+        fill_char = jnp.where(multi_in, jnp.uint8(0), pred)
+        run_char = ops.repeat_fill(fill_char, case2_size, cap_seg)
+        run_start = ops.repeat_fill(node_start - base, case2_size, cap_seg)
+        csum = jnp.cumsum(case2_size)
+        idx2 = jnp.arange(cap_seg, dtype=I32)
+        segid = jnp.searchsorted(csum, idx2, side="right").astype(I32)
+        starts = csum - case2_size
+        off = idx2 - starts[jnp.minimum(segid, cap_n - 1)]
+        c2idx = run_start + off
+        nc2 = jnp.sum(case2_size)
+        c2ok = idx2 < nc2
+        seg = seg.at[jnp.where(c2ok, c2idx, cap_seg)].set(
+            run_char, mode="drop"
+        )
+        sbp = jnp.where(spec_bwtpos >= 0, spec_bwtpos - base, cap_seg)
+        seg = seg.at[sbp].set(spec_char, mode="drop")
+        seg = seg.at[jnp.where(nid_s < cap_n, bpos, cap_seg)].set(
+            char_s.astype(jnp.uint8), mode="drop"
+        )
+        return seg[None], local_total[None]
+
+    seg_d, seg_total_d = s3(
+        node_start, cnt, multi_in, pred, spec_bwtpos,
+        b_ref_d, b_sidx_d, b_char_d,
+        jax.device_put(sp_rank, rep), spec_char_rep,
+    )
+    seg_h = np.asarray(jax.device_get(seg_d))
+    totals = np.asarray(jax.device_get(seg_total_d)).reshape(-1)
+    assert (totals == seg_sizes).all()
+    bwt6 = np.concatenate([seg_h[r, : totals[r]] for r in range(n)])
+    assert bwt6.shape[0] == N
+    (sharp,) = np.nonzero(bwt6 == K.SHARP)
+    (dollar,) = np.nonzero(bwt6 == K.DOLLAR)
+    assert dollar.shape[0] == 1, dollar
+    return BwtResult(
+        bwt6=bwt6,
+        sharp_pos=sharp.astype(np.int64),
+        dollar_pos=int(dollar[0]),
+    )
+
+
+def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
+                      q_hi, q_lo, n):
+    """Flags + node references for a small replicated query key set,
+    combined across owners (host side, tiny)."""
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P()),
+        out_specs=(P("d"), P("d"), P("d")),
+    )
+    def gather(nh, nl, mi, mo, qh, ql):
+        nh, nl, mi, mo = nh[0], nl[0], mi[0], mo[0]
+        r = jax.lax.axis_index("d")
+        idx = ops.searchsorted2(nh, nl, qh, ql, "left")
+        idx_c = jnp.minimum(idx, nh.shape[0] - 1)
+        hit = (nh[idx_c] == qh) & (nl[idx_c] == ql)
+        mi_q = jnp.where(hit, mi[idx_c], False)
+        mo_q = jnp.where(hit, mo[idx_c], False)
+        ref_q = jnp.where(hit, idx_c * n + r, -1)
+        return mi_q[None], mo_q[None], ref_q[None]
+
+    mi_q, mo_q, ref_q = gather(
+        node_hi, node_lo, multi_in, multi_out,
+        jnp.asarray(q_hi), jnp.asarray(q_lo),
+    )
+    mi_h = np.asarray(jax.device_get(mi_q)).any(axis=0)
+    mo_h = np.asarray(jax.device_get(mo_q)).any(axis=0)
+    ref_h = np.asarray(jax.device_get(ref_q)).max(axis=0)
+    return mi_h, mo_h, ref_h

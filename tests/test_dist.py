@@ -1,0 +1,66 @@
+"""Distributed pipeline on the virtual 8-device CPU mesh vs golden."""
+
+import numpy as np
+import pytest
+
+from debwt_tpu.golden import golden_bwt
+from debwt_tpu.parallel import dist_build_bwt, make_mesh
+from debwt_tpu.types import PipelineConfig, SequenceCollection
+
+
+def _assert_equal(coll, mesh, config=None):
+    g = golden_bwt(coll)
+    r = dist_build_bwt(coll, config or PipelineConfig(), mesh)
+    assert (g.bwt6 == r.bwt6).all()
+    assert (g.sharp_pos == r.sharp_pos).all()
+    assert g.dollar_pos == r.dollar_pos
+
+
+@pytest.mark.parametrize("n_dev", [2, 3, 8])
+def test_random_device_counts(n_dev):
+    rng = np.random.default_rng(n_dev)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 300))))
+        for _ in range(5)
+    ]
+    _assert_equal(SequenceCollection.from_reads(reads), make_mesh(n_dev))
+
+
+def test_repeat_heavy_8dev():
+    rng = np.random.default_rng(2)
+    frags = ["".join(rng.choice(list("ACGT"), size=30)) for _ in range(4)]
+    reads = [
+        "".join(rng.choice(frags) for _ in range(5)) for _ in range(5)
+    ]
+    _assert_equal(SequenceCollection.from_reads(reads), make_mesh(8))
+
+
+@pytest.mark.parametrize("m", [12, 24, 32])
+def test_k_sweep_4dev(m):
+    rng = np.random.default_rng(m)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 200))))
+        for _ in range(4)
+    ]
+    _assert_equal(
+        SequenceCollection.from_reads(reads),
+        make_mesh(4),
+        PipelineConfig(m=m),
+    )
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import jax
+
+    fn, args = mod.entry()
+    jax.jit(fn)(*args)
+    mod.dryrun_multichip(8)
