@@ -32,36 +32,54 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import numpy as np
+
+
+def _setup_jax_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 CACHE = pathlib.Path(__file__).parent / ".bench_cache.json"
 
 
-def synth_reads(mbp: float, seed: int = 0):
-    """Synthetic genome collection: a few chromosome-scale reads built
-    from a fragment library with duplications (repeat content drives
-    branch-node density, like real genomes)."""
+def synth_reads(mbp: float, seed: int = 0, n_genomes: int = 4,
+                mutation_rate: float = 2e-3, repeat_frac: float = 0.1):
+    """Synthetic genome collection: one base genome (with internal
+    repeat content) plus n_genomes-1 mutated copies — the deBWT target
+    workload (a collection of near-identical genomes, README.md:9).
+    Mutations drive branch-node density; shared content drives deep
+    common prefixes in the blue sort."""
     rng = np.random.default_rng(seed)
-    total = int(mbp * 1e6)
-    frags = [
-        "".join(rng.choice(list("ACGT"), size=int(rng.integers(2_000, 20_000))))
-        for _ in range(64)
-    ]
-    reads, acc = [], 0
-    n_reads = 8
-    per_read = total // n_reads
-    for _ in range(n_reads):
-        parts, size = [], 0
-        while size < per_read:
-            if rng.random() < 0.25:
-                f = frags[int(rng.integers(len(frags)))]  # repeat reuse
-            else:
-                f = "".join(
-                    rng.choice(list("ACGT"), size=int(rng.integers(5_000, 40_000)))
-                )
-            parts.append(f)
-            size += len(f)
-        reads.append("".join(parts))
+    per_genome = int(mbp * 1e6) // n_genomes
+    # base genome with ~repeat_frac internal repeat reuse
+    frag = rng.choice(4, size=max(1, per_genome // 50)).astype(np.uint8)
+    parts, size = [], 0
+    while size < per_genome:
+        if rng.random() < repeat_frac:
+            parts.append(frag)
+        else:
+            piece = rng.choice(4, size=int(rng.integers(5_000, 30_000))).astype(np.uint8)
+            parts.append(piece)
+        size += len(parts[-1])
+    base = np.concatenate(parts)[:per_genome]
+    reads = []
+    bases = np.array(list("ACGT"))
+    for g in range(n_genomes):
+        gen = base.copy()
+        if g:
+            n_mut = int(len(gen) * mutation_rate)
+            idx = rng.choice(len(gen), size=n_mut, replace=False)
+            gen[idx] = (gen[idx] + rng.integers(1, 4, size=n_mut)) % 4
+        reads.append("".join(bases[gen]))
     return reads
 
 
@@ -109,6 +127,7 @@ def main():
     print(f"[bench] input: {n_bases/1e6:.2f} Mbp in {len(reads)} reads",
           file=sys.stderr)
 
+    _setup_jax_cache()
     from debwt_tpu.pipeline import build_bwt
     from debwt_tpu.types import PipelineConfig, SequenceCollection
 

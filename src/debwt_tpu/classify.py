@@ -128,14 +128,18 @@ def build_node_table(
 
 @functools.partial(jax.jit, static_argnames=())
 def build_units(
-    node_hi, node_lo, cnt, multi_in,
+    node_hi, node_lo, cnt, multi_in, pred,
     spec_hi, spec_lo,      # T-filled special keys, in true special order
+    spec_char6,            # uint8 special BWT chars, same order
 ):
     """Merge nodes with special singletons and assign BWT coordinates.
 
-    Returns (node_start int32[cap_nodes], spec_bwtpos int32[n_spec]):
-    the absolute BWT start of every node's block and the absolute BWT
-    position of every special suffix (in special order).
+    Returns (node_start, spec_bwtpos, unit_size, unit_fill):
+    absolute BWT block starts per node, absolute BWT positions per
+    special suffix, plus the merged unit sequence itself — unit order
+    IS BWT order, so `repeat(unit_fill, unit_size)` lays down every
+    case-2 run and special char in place (case-3 slots carry 0 and are
+    overwritten by the blue scatter).
 
     Specials tie-break AFTER the node with the equal T-filled key
     (reference: the specialBwt interleave runs after the node's block,
@@ -150,10 +154,13 @@ def build_units(
         [jnp.zeros(cap_nodes, I32), jnp.ones(n_spec, I32)]
     )
     size = jnp.concatenate([cnt, jnp.ones(n_spec, I32)])
+    fill = jnp.concatenate(
+        [jnp.where(multi_in, jnp.uint8(0), pred), spec_char6]
+    )
     src = jnp.arange(cap_nodes + n_spec, dtype=I32)
     # stable sort keeps specials in their incoming (true) order
-    u_hi, u_lo, is_spec, size, src = jax.lax.sort(
-        (u_hi, u_lo, is_spec, size, src), num_keys=3, is_stable=True
+    u_hi, u_lo, is_spec, size, fill, src = jax.lax.sort(
+        (u_hi, u_lo, is_spec, size, fill, src), num_keys=3, is_stable=True
     )
     start = ops.exclusive_cumsum(size)
     node_sel = src < cap_nodes
@@ -164,4 +171,4 @@ def build_units(
     spec_bwtpos = jnp.zeros(n_spec, I32).at[
         jnp.where(node_sel, n_spec, src - cap_nodes)
     ].set(start.astype(I32), mode="drop")
-    return node_start, spec_bwtpos
+    return node_start, spec_bwtpos, size, fill

@@ -1,0 +1,95 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (src/main.c:175-186) with TPU-native flags:
+
+  python -m debwt_tpu.cli -o out.bwt [-k 32] [--dist N] [--verify]
+                          [--n-policy reject|random|to-g] input.fa[.gz]
+
+`-t`/`-j` are accepted for drop-in compatibility and ignored (threads
+are the device mesh; no Jellyfish is needed — counting is on-device).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="debwt-tpu",
+        description="TPU-native BWT construction (deBWT-compatible output)",
+    )
+    p.add_argument("source", help="sequence collection (fasta/fastq, .gz ok)")
+    p.add_argument("-o", dest="obj", required=True, help="output bwt file")
+    p.add_argument("-k", dest="m", type=int, default=32,
+                   help="k-mer length (12..32, default 32)")
+    p.add_argument("-t", dest="threads", type=int, default=None,
+                   help="(compat, ignored — use --dist)")
+    p.add_argument("-j", dest="jroot", default=None,
+                   help="(compat, ignored — no Jellyfish needed)")
+    p.add_argument("--dist", type=int, default=0, metavar="N",
+                   help="run distributed over N devices")
+    p.add_argument("--n-policy", default="reject",
+                   choices=["reject", "random", "to-g"],
+                   help="handling of N/IUPAC characters")
+    p.add_argument("--seed", type=int, default=11,
+                   help="seed for --n-policy random")
+    p.add_argument("--verify", action="store_true",
+                   help="LF-walk invertibility check after construction")
+    p.add_argument("--check", action="store_true",
+                   help="enable internal invariant checks")
+    args = p.parse_args(argv)
+
+    from debwt_tpu.io import read_fasta, write_bwt
+    from debwt_tpu.types import PipelineConfig, SequenceCollection
+
+    # pre-flight: output writability (src/main.c:55-58)
+    try:
+        with open(args.obj, "wb"):
+            pass
+        import os
+
+        os.remove(args.obj)
+    except OSError as e:
+        print(f"cannot create {args.obj}: {e}", file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+    reads, names = read_fasta(args.source, args.n_policy, args.seed)
+    print(f"[debwt-tpu] {len(reads)} reads, "
+          f"{sum(len(r) for r in reads)/1e6:.2f} Mbp "
+          f"({time.time()-t0:.2f}s ingest)", file=sys.stderr)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=args.m, check=args.check)
+
+    t1 = time.time()
+    if args.dist:
+        from debwt_tpu.parallel import dist_build_bwt, make_mesh
+
+        result = dist_build_bwt(coll, config, make_mesh(args.dist))
+    else:
+        from debwt_tpu.pipeline import build_bwt
+
+        result = build_bwt(coll, config)
+    dt = time.time() - t1
+    print(f"[debwt-tpu] BWT of {coll.bwt_len} chars in {dt:.2f}s "
+          f"({coll.bwt_len/1e6/dt:.2f} Mbp/s)", file=sys.stderr)
+
+    write_bwt(result, args.obj)
+    print(f"[debwt-tpu] wrote {args.obj} (+ .#, .$)", file=sys.stderr)
+
+    if args.verify:
+        from debwt_tpu.verify import lf_verify
+
+        ok = lf_verify(result, coll)
+        print(f"[debwt-tpu] LF invertibility: {'OK' if ok else 'FAILED'}",
+              file=sys.stderr)
+        if not ok:
+            return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

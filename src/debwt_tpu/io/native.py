@@ -1,0 +1,77 @@
+"""ctypes binding for the native FASTA parser (csrc/fasta_parser.cpp).
+
+Build with tools/build_native.sh; falls back to the NumPy parser when
+the shared object is absent. The RANDOM N-policy always uses the NumPy
+path so its substitution stream is identical everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_SO = os.path.join(os.path.dirname(__file__), "_native.so")
+_lib = None
+
+
+def available() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    if not os.path.exists(_SO):
+        return False
+    lib = ctypes.CDLL(_SO)
+    lib.debwt_parse_fasta.restype = ctypes.c_int
+    lib.debwt_parse_fasta.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return True
+
+
+def parse_fasta(raw: bytes, policy: str, seed: int):
+    if policy == "random":
+        from debwt_tpu.io.fasta import NPolicy, _parse_fasta_numpy
+
+        return _parse_fasta_numpy(raw, NPolicy.RANDOM, seed)
+    if not available():
+        raise ImportError("native parser not built")
+    pol = 0 if policy == "reject" else 2
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    n_cap = int((buf == ord(">")).sum()) + 1
+    out_codes = np.empty(buf.shape[0], dtype=np.uint8)
+    out_bounds = np.empty(n_cap + 1, dtype=np.int64)
+    n_records = ctypes.c_int64(0)
+    total = ctypes.c_int64(0)
+    err_pos = ctypes.c_int64(0)
+    rc = _lib.debwt_parse_fasta(
+        buf.ctypes.data, buf.shape[0], pol,
+        out_codes.ctypes.data, out_bounds.ctypes.data, n_cap,
+        ctypes.byref(n_records), ctypes.byref(total), ctypes.byref(err_pos),
+    )
+    if rc == -2:
+        ch = chr(raw[err_pos.value])
+        raise ValueError(
+            f"non-ACGT character {ch!r}; rerun with an N-policy "
+            "('random' for the transferN behavior, 'to-g' for the "
+            "mySort quirk)"
+        )
+    if rc != 0:
+        raise ValueError(f"native FASTA parse failed (rc={rc})")
+    nr = n_records.value
+    reads = [
+        out_codes[out_bounds[j] : out_bounds[j + 1]] for j in range(nr)
+    ]
+    # names are parsed from headers (cheap, python)
+    names = []
+    for j, line in enumerate(raw.split(b"\n")):
+        if line.startswith(b">"):
+            names.append(
+                line[1:].split()[0].decode() if len(line) > 1 else f"read{j}"
+            )
+    return reads, names

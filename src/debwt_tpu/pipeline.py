@@ -1,34 +1,48 @@
 """Single-chip end-to-end pipeline orchestration.
 
-Stage boundaries mirror the reference driver (src/main.c:83-160) but
-the interfaces are device arrays instead of temp files, and the only
-host syncs are the dynamic-size reductions (number of SP events, blue
-entries) that size the next stage's static shapes — the TPU analogue
-of the reference's cross-stage globals (case3num, blueCapacity, ...).
+Two device dispatches (engine.stage_graph / engine.stage_finish) with
+one host sync in between for the dynamic SP/blue counts — the TPU
+analogue of the reference's cross-stage globals (case3num,
+blueCapacity, ..., src/main.c:83-160). Sidecars, packing, and
+conservation counts are computed on device; only the packed words and
+tiny metadata cross back to host (the full 6-letter BWT is fetched
+lazily on first access).
 
-Capacities are rounded up to powers of two so recompiles are rare
-across inputs of similar scale.
+The unfused stage modules (count/classify/spcode/bluesort/assemble)
+remain the building blocks of the distributed pipeline and are tested
+in their own right; this path is the single-chip fast path.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from debwt_tpu import assemble, bluesort, classify, count, ops, spcode
 from debwt_tpu import constants as K
+from debwt_tpu import engine
 from debwt_tpu.special import build_special
 from debwt_tpu.types import PipelineConfig, SequenceCollection
 
 
 @dataclasses.dataclass(frozen=True)
 class BwtResult:
-    bwt6: np.ndarray
     sharp_pos: np.ndarray
     dollar_pos: int
+    packed_words: np.ndarray | None = None   # uint32 device packing
+    _bwt6: Any = None                        # np.ndarray or device array
+    _n: int = 0
+
+    @property
+    def bwt6(self) -> np.ndarray:
+        b = self._bwt6
+        if not isinstance(b, np.ndarray):
+            b = np.asarray(jax.device_get(b))
+            object.__setattr__(self, "_bwt6", b)
+        return b
 
     @property
     def bwt2(self) -> np.ndarray:
@@ -37,6 +51,15 @@ class BwtResult:
         return out
 
     def packed(self) -> bytes:
+        if self.packed_words is not None:
+            w = np.asarray(jax.device_get(self.packed_words))
+            n_words = (self._n + 31) // 32
+            if w.shape[0] % 2:
+                w = np.concatenate([w, np.zeros(1, np.uint32)])
+            u64 = (w[0::2].astype(np.uint64) << np.uint64(32)) | w[
+                1::2
+            ].astype(np.uint64)
+            return u64[:n_words].astype("<u8").tobytes()
         from debwt_tpu.golden import pack_2bit_u64
 
         return pack_2bit_u64(self.bwt2)
@@ -58,7 +81,6 @@ def build_bwt(
 ) -> BwtResult:
     config = config or PipelineConfig()
     m = config.m
-    k = config.k
     N = coll.bwt_len
     n = coll.n_reads
     if N >= 2**31 - K.TAIL_PAD and not config.use_x64:
@@ -66,86 +88,48 @@ def build_bwt(
             "int32 pipeline: text must be < 2^31; enable use_x64 (3 Gbp tier)"
         )
 
-    # ---- host: ingest + special module (tiny, irregular) ----
+    # ---- host: special module (tiny, irregular) ----
     sp = build_special(coll, m)
-    x2p = np.concatenate(
-        [coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)]
-    )
-
-    d_x2p = jnp.asarray(x2p)
-    d_sep = jnp.asarray(coll.sep.astype(np.int32))
-    dist = count.distance_to_separator(d_sep, jnp.zeros(N, jnp.int32))
-
-    # ---- device: edge extraction + sort (Jellyfish + mySort) ----
-    n_edges = N - n * m
-    e_hi, e_lo, _e_pos = count.extract_and_sort_edges(d_x2p, dist, m, n_edges)
-
-    # ---- device: node table (getKmer + mergeKmer tags) ----
-    tail_hi, tail_lo = _split64(sp.tail_keys)
-    head_hi, head_lo = _split64(sp.head_keys)
-    cap_nodes = n_edges + n + 1
-    node_hi, node_lo, cnt, multi_in, multi_out, pred, num_nodes = (
-        classify.build_node_table(
-            e_hi, e_lo,
-            jnp.asarray(tail_hi), jnp.asarray(tail_lo),
-            jnp.asarray(head_hi), jnp.asarray(head_lo),
-            k, cap_nodes,
-        )
-    )
-
-    # ---- device: units + coordinates (mergeKmer `storage`) ----
-    s_hi, s_lo = _split64(sp.spec_tfill)
-    node_start, spec_bwtpos = classify.build_units(
-        node_hi, node_lo, cnt, multi_in, jnp.asarray(s_hi), jnp.asarray(s_lo)
-    )
-
-    # ---- device: position classification (generateSP scan) ----
+    x2p = np.concatenate([coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)])
+    is_sep = np.zeros(N, dtype=bool)
+    is_sep[coll.sep] = True
     spec_branch_mask = np.zeros(N, dtype=bool)
     spec_branch_mask[sp.spec_branch_pos] = True
-    is_sp, is_blue, node_id = spcode.classify_positions(
-        d_x2p, dist,
-        node_hi, node_lo, multi_in, multi_out,
-        jnp.asarray(spec_branch_mask), k,
+    s_hi, s_lo = _split64(sp.spec_tfill)
+
+    d = jnp.asarray
+    x2p_d = d(x2p)
+    out = engine.stage_graph(
+        x2p_d, d(is_sep),
+        d(s_hi), d(s_lo), d(sp.spec_bwt6),
+        d(sp.spec_pos_sorted.astype(np.int32)),
+        d(spec_branch_mask),
+        m, N,
     )
-    L = int(jnp.sum(is_sp))
-    B = int(jnp.sum(is_blue))
+    (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
+     bwt_char, L, B) = out
+    L, B = int(L), int(B)
     L_cap, B_cap = _pow2(L), _pow2(B)
 
-    sp_pos, sp6, blue_node, blue_spidx, blue_char6 = spcode.build_sp_and_blue(
-        d_x2p, dist, is_sp, is_blue, node_id, d_sep, k, L_cap, B_cap, n
+    bwt6_d, packed_d, sharp_d, dollar_d, n_sharp_d, counts_d = (
+        engine.stage_finish(
+            x2p_d, dist, mi_pos, base_pos, is_sp, sp_idx_of, bwt_char,
+            bwt6_partial, m, N, L_cap, B_cap, n,
+        )
     )
-    # mask padding: nonzero pads with 0s -> fake entries at position 0.
-    # Slice to exact counts on device (cheap static-size ops follow).
-    sp6 = jnp.where(jnp.arange(L_cap) < L, sp6, 0)
-
-    # ---- device: SP suffix ranks (sortBlue/cmpSP, batched) ----
-    sp6_ext = jnp.concatenate([sp6, jnp.zeros(L_cap, jnp.uint8)])
-    sp_rank = bluesort.sp_suffix_ranks(sp6_ext)[: L_cap]
-
-    # blue padding entries: route to an out-of-range node id so they
-    # sort to the tail and scatter out of range (dropped)
-    blue_valid = jnp.arange(B_cap) < B
-    blue_node = jnp.where(blue_valid, blue_node, cap_nodes)
-    blue_pos_abs, blue_sorted_char = bluesort.order_blue(
-        blue_node, jnp.minimum(blue_spidx, L_cap - 1), blue_char6,
-        sp_rank, jnp.concatenate([node_start, jnp.full(1, N, jnp.int32)]),
-    )
-
-    # ---- device: assembly (insertCase3) ----
-    bwt6 = assemble.assemble_bwt6(
-        node_start, cnt, multi_in, pred,
-        spec_bwtpos, jnp.asarray(sp.spec_bwt6),
-        blue_pos_abs, blue_sorted_char, N,
-    )
-    sharp, dollar = assemble.extract_sidecars(bwt6, n)
-
-    bwt6_h = np.asarray(jax.device_get(bwt6))
+    sharp = np.asarray(jax.device_get(sharp_d)).astype(np.int64)
+    dollar = int(dollar_d)
+    n_sharp = int(n_sharp_d)
+    assert n_sharp == n - 1, (n_sharp, n)
+    assert dollar < N
     if config.check:
-        counts = np.bincount(bwt6_h, minlength=6)
+        counts = np.asarray(jax.device_get(counts_d))
         want = np.bincount(coll.x6, minlength=6)
         assert (counts == want).all(), (counts, want)
     return BwtResult(
-        bwt6=bwt6_h,
-        sharp_pos=np.asarray(jax.device_get(sharp)).astype(np.int64),
-        dollar_pos=int(dollar),
+        sharp_pos=sharp[: n - 1],
+        dollar_pos=dollar,
+        packed_words=packed_d,
+        _bwt6=bwt6_d,
+        _n=N,
     )

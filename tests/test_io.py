@@ -1,0 +1,146 @@
+"""io layer: FASTA parsing (numpy + native), N-policies, writer
+round-trip, CLI end-to-end, LF verification."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from debwt_tpu.golden import golden_bwt
+from debwt_tpu.io import NPolicy, read_bwt, read_fasta, write_bwt
+from debwt_tpu.io.fasta import _parse_fasta_numpy
+from debwt_tpu.types import SequenceCollection
+from debwt_tpu.verify import build_occ, lf_verify
+
+
+def _write_fasta(path, reads, width=70, names=None):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">{names[i] if names else f'read{i}'}\n")
+            for j in range(0, len(r), width):
+                f.write(r[j : j + width] + "\n")
+
+
+@pytest.fixture
+def fasta_file(tmp_path, rng):
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(40, 200))))
+        for _ in range(6)
+    ]
+    path = tmp_path / "in.fa"
+    _write_fasta(path, reads)
+    return path, reads
+
+
+def test_parse_roundtrip(fasta_file):
+    path, reads = fasta_file
+    got, names = read_fasta(str(path))
+    assert len(got) == len(reads)
+    assert names[0] == "read0"
+    for g, r in zip(got, reads):
+        assert "".join("ACGT"[c] for c in g) == r
+
+
+def test_native_matches_numpy(fasta_file):
+    from debwt_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native parser not built")
+    path, reads = fasta_file
+    raw = open(path, "rb").read()
+    got_nat, names_nat = native.parse_fasta(raw, "reject", 0)
+    got_np, names_np = _parse_fasta_numpy(raw, NPolicy.REJECT, 0)
+    assert names_nat == names_np
+    for a, b in zip(got_nat, got_np):
+        assert (a == b).all()
+
+
+def test_gzip(tmp_path, rng):
+    import gzip
+
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(3)]
+    path = tmp_path / "in.fa.gz"
+    body = "".join(f">r{i}\n{r}\n" for i, r in enumerate(reads))
+    with gzip.open(path, "wt") as f:
+        f.write(body)
+    got, _ = read_fasta(str(path))
+    assert len(got) == 3
+
+
+def test_n_policies(tmp_path):
+    path = tmp_path / "n.fa"
+    _write_fasta(path, ["ACGTN" * 12])
+    with pytest.raises(ValueError, match="N-policy"):
+        read_fasta(str(path))
+    got, _ = read_fasta(str(path), "to-g")
+    assert (got[0][4::5] == 2).all()  # N -> G
+    got_r, _ = read_fasta(str(path), "random", seed=3)
+    assert got_r[0].max() <= 3
+    got_r2, _ = read_fasta(str(path), "random", seed=3)
+    assert (got_r[0] == got_r2[0]).all()  # deterministic per seed
+
+
+def test_iupac_random(tmp_path):
+    path = tmp_path / "iupac.fa"
+    _write_fasta(path, ["ACGTRYSWKMBDHVN" * 4])
+    got, _ = read_fasta(str(path), "random", seed=0)
+    assert got[0].max() <= 3
+
+
+def test_writer_roundtrip(tmp_path, rng):
+    reads = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(4)]
+    coll = SequenceCollection.from_reads(reads)
+    g = golden_bwt(coll)
+    write_bwt(g, str(tmp_path / "o.bwt"))
+    bwt6, sharp, dollar = read_bwt(str(tmp_path / "o.bwt"), coll.bwt_len)
+    assert (bwt6 == g.bwt6).all()
+    assert (sharp == g.sharp_pos).all()
+    assert dollar == g.dollar_pos
+
+
+def test_lf_verify(rng):
+    reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(4)]
+    coll = SequenceCollection.from_reads(reads)
+    g = golden_bwt(coll)
+    assert lf_verify(g, coll)
+    # corrupting one char breaks the walk or the comparison
+    bad = g.bwt6.copy()
+    i = int(np.nonzero(bad < 4)[0][5])
+    bad[i] ^= 1
+    import dataclasses
+
+    g2 = dataclasses.replace(g, bwt6=bad)
+    assert not lf_verify(g2, coll)
+
+
+def test_occ_consistency(rng):
+    reads = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(2)]
+    coll = SequenceCollection.from_reads(reads)
+    g = golden_bwt(coll)
+    occ, C = build_occ(g.bwt6)
+    counts = np.bincount(g.bwt6[g.bwt6 < 4], minlength=4)
+    assert (occ[-1] == counts).all()
+    assert (C == np.concatenate([[0], np.cumsum(counts)[:-1]])).all()
+
+
+def test_cli_end_to_end(tmp_path, fasta_file):
+    import os
+
+    path, reads = fasta_file
+    obj = tmp_path / "out.bwt"
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    rc = subprocess.run(
+        [sys.executable, "-m", "debwt_tpu.cli", "-o", str(obj), "-k", "32",
+         "--verify", str(path)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "src", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        cwd=repo_root,
+        timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr
+    coll = SequenceCollection.from_reads(reads)
+    g = golden_bwt(coll)
+    assert open(obj, "rb").read() == g.packed()
+    assert "LF invertibility: OK" in rc.stderr

@@ -1,0 +1,8 @@
+#!/bin/sh
+# Build the native IO components into the package tree.
+set -e
+cd "$(dirname "$0")/.."
+g++ -O3 -march=native -shared -fPIC -std=c++17 \
+    csrc/fasta_parser.cpp \
+    -o src/debwt_tpu/io/_native.so
+echo "built src/debwt_tpu/io/_native.so"
