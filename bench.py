@@ -156,23 +156,34 @@ def main():
     key = f"ref_mbp{mbp}"
     if os.environ.get("DEBWT_BENCH_SKIP_BASELINE") != "1" and key not in cache:
         try:
+            import hashlib
+
             t_ref, obj, sharp, dollar = measure_reference(reads)
-            byte_ok = (
-                result.packed() == obj
-                and (result.sharp_pos == sharp).all()
-                and result.dollar_pos == dollar
-            )
             cache[key] = {
                 "seconds": t_ref,
                 "mbps": n_bases / 1e6 / t_ref,
-                "byte_identical": bool(byte_ok),
+                "obj_sha": hashlib.sha256(obj).hexdigest(),
+                "sharp_sha": hashlib.sha256(sharp.tobytes()).hexdigest(),
+                "dollar": int(dollar),
             }
             CACHE.write_text(json.dumps(cache))
-            print(f"[bench] reference: {t_ref:.2f}s = {cache[key]['mbps']:.2f} "
-                  f"Mbp/s, byte_identical={byte_ok}", file=sys.stderr)
+            print(f"[bench] reference: {t_ref:.2f}s = "
+                  f"{cache[key]['mbps']:.2f} Mbp/s", file=sys.stderr)
         except Exception as e:  # reference unavailable — report raw perf
             print(f"[bench] baseline skipped: {e}", file=sys.stderr)
     ref = cache.get(key, {})
+    if ref.get("obj_sha"):
+        import hashlib
+
+        ok = (
+            hashlib.sha256(result.packed()).hexdigest() == ref["obj_sha"]
+            and hashlib.sha256(
+                result.sharp_pos.astype(np.int64).tobytes()
+            ).hexdigest() == ref["sharp_sha"]
+            and result.dollar_pos == ref["dollar"]
+        )
+        print(f"[bench] byte-identical to reference: {ok}", file=sys.stderr)
+        assert ok, "output differs from the reference binary!"
     vs = mbps / ref["mbps"] if ref.get("mbps") else 0.0
     print(json.dumps({
         "metric": "bwt_construction",

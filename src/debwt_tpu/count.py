@@ -48,3 +48,35 @@ def distance_to_separator(sep: jnp.ndarray, n_positions_arr: jnp.ndarray):
     p = jnp.arange(n_positions_arr.shape[0], dtype=sep.dtype)
     nxt = jnp.searchsorted(sep, p, side="left")
     return (sep[nxt] - p).astype(jnp.int32)
+
+
+def count_kmers(coll, m: int = 32):
+    """Jellyfish-equivalent: exact (k+1)-mer counts of a read collection,
+    computed on device (sort + run-length reduction). Returns
+    (kmers uint64[:], counts int64[:]) sorted by k-mer value — the
+    content of the reference's `bin/kmerInfo` after mySort
+    (src/mySort.c:26-201), with no external process or text dump.
+    """
+    import numpy as np
+
+    from debwt_tpu import constants as Kc
+    from debwt_tpu import ops as _ops
+
+    N = coll.bwt_len
+    n = coll.n_reads
+    x2p = np.concatenate(
+        [coll.x2, np.full(Kc.TAIL_PAD, Kc.T, dtype=np.uint8)]
+    )
+    d_x2p = jnp.asarray(x2p)
+    d_sep = jnp.asarray(coll.sep.astype(np.int32))
+    dist = distance_to_separator(d_sep, jnp.zeros(N, jnp.int32))
+    n_edges = N - n * m
+    e_hi, e_lo, _pos = extract_and_sort_edges(d_x2p, dist, m, n_edges)
+    b = _ops.run_boundaries(e_hi, e_lo)
+    hi_h = np.asarray(e_hi).astype(np.uint64)
+    lo_h = np.asarray(e_lo).astype(np.uint64)
+    b_h = np.asarray(b)
+    keys = ((hi_h << np.uint64(32)) | lo_h)[b_h]
+    seg = np.cumsum(b_h) - 1
+    counts = np.bincount(seg, minlength=int(seg[-1]) + 1 if seg.size else 0)
+    return keys, counts.astype(np.int64)

@@ -63,6 +63,7 @@ def stage_graph(
     spec_char6,       # uint8[n_spec]
     spec_rank_pos,    # int32[n_spec] special positions, true order
     spec_branch_mask,  # bool[N]
+    n_real,           # int32 scalar: true text length (N is the bucket)
     m: int,
     N: int,
 ):
@@ -70,7 +71,7 @@ def stage_graph(
     dist = _dist_from_sep(is_sep, N)
     whi, wlo = ops.window_keys(x2p[: N + k - 1], k)
     pos = jnp.arange(N, dtype=I32)
-    is_main = dist >= k
+    is_main = (dist >= k) & (pos < n_real)
     is_head = (pos == 0) | jnp.concatenate(
         [jnp.zeros(1, bool), is_sep[:-1]]
     )
@@ -78,7 +79,7 @@ def stage_graph(
     nextc = x2p[pos + k].astype(U8)
     is_tailw = dist == k
     choice = jnp.where(
-        is_tailw, jnp.where(pos + k == N - 1, jnp.uint8(5), jnp.uint8(4)),
+        is_tailw, jnp.where(pos + k == n_real - 1, jnp.uint8(5), jnp.uint8(4)),
         nextc,
     )
     # predecessor chars
@@ -88,27 +89,32 @@ def stage_graph(
     )
 
     # ---- the one sort: main rows + special singletons ----
+    # third key packs (is_spec, choice) so ordering is
+    # (key, is_spec, choice); payload packs (pred, head, bwt_char) into
+    # one u8 — 5 sort operands total (compile + runtime win)
     n_spec = spec_hi.shape[0]
     R = N + n_spec
     r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
     r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
-    r_spec = jnp.concatenate(
-        [jnp.where(is_main, 0, 2).astype(U8), jnp.ones(n_spec, U8)]
+    k3_main = jnp.where(is_main, choice, jnp.uint8(16 * 2))
+    k3_spec = jnp.full(n_spec, 16, U8)  # is_spec=1, choice field 0
+    r_k3 = jnp.concatenate([k3_main, k3_spec])
+    pay_main = (
+        jnp.where(is_head, jnp.uint8(7), prev)
+        | (jnp.uint8(8) * (is_head & is_main).astype(U8))
+        | (bwt_char << 4)
     )
-    r_choice = jnp.concatenate([choice, jnp.zeros(n_spec, U8)])
-    r_pred = jnp.concatenate(
-        [jnp.where(is_head, jnp.uint8(7), prev), jnp.full(n_spec, 7, U8)]
-    )
-    r_head = jnp.concatenate([is_head & is_main, jnp.zeros(n_spec, bool)])
-    r_char = jnp.concatenate([bwt_char, spec_char6])
+    pay_spec = jnp.uint8(7) | (spec_char6 << 4)
+    r_pay = jnp.concatenate([pay_main, pay_spec])
     r_pos = jnp.concatenate([pos, spec_rank_pos])
-    (r_hi, r_lo, r_spec, r_choice, r_pred, r_head, r_char, r_pos) = (
-        jax.lax.sort(
-            (r_hi, r_lo, r_spec, r_choice, r_pred, r_head, r_char, r_pos),
-            num_keys=4,
-            is_stable=True,
-        )
+    r_hi, r_lo, r_k3, r_pay, r_pos = jax.lax.sort(
+        (r_hi, r_lo, r_k3, r_pay, r_pos), num_keys=3, is_stable=True
     )
+    r_spec = r_k3 >> 4
+    r_choice = r_k3 & 15
+    r_pred = r_pay & 7
+    r_head = (r_pay & 8) != 0
+    r_char = r_pay >> 4
     # non-main rows (r_spec == 2) sort to the tail; BWT coordinate of
     # sorted row i is i for the first N rows... no: invalid rows count
     # N - n_main = n_spec * ... — actually main+spec rows == N exactly,
@@ -184,12 +190,12 @@ def stage_graph(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "N", "L_cap", "B_cap", "n_reads")
+    jax.jit, static_argnames=("m", "N", "L_cap", "B_cap", "n_sharp_cap")
 )
 def stage_finish(
     x2p, dist, mi_pos, base_pos, is_sp, sp_idx_of, bwt_char,
-    bwt6_partial,
-    m: int, N: int, L_cap: int, B_cap: int, n_reads: int = 1,
+    bwt6_partial, n_real,
+    m: int, N: int, L_cap: int, B_cap: int, n_sharp_cap: int = 1,
 ):
     k = m - 1
     # SP string
@@ -199,7 +205,7 @@ def stage_finish(
     base_c = x2p[at].astype(U8)
     d_at = dist[jnp.minimum(sp_pos, N - 1)]
     is_sepc = d_at == k
-    is_dollar = is_sepc & (sp_pos + k == N - 1)
+    is_dollar = is_sepc & (sp_pos + k == n_real - 1)
     sp6 = jnp.where(is_sepc, jnp.where(is_dollar, 5, 4), base_c).astype(U8)
     sp6 = jnp.where(sp_pos < N, sp6, 0)
     # suffix ranks by prefix doubling over the zero-extended string
@@ -222,12 +228,17 @@ def stage_finish(
     within = idx - jax.lax.cummax(jnp.where(first, idx, -1))
     tgt = jnp.where(base_s < N, base_s + within, N)
     bwt6 = bwt6_partial.at[tgt].set(char_s.astype(U8), mode="drop")
+    # zero the bucket-padding tail so packed words are clean
+    bwt6 = jnp.where(jnp.arange(N, dtype=I32) < n_real, bwt6, 0)
     packed = ops.pack_2bit_words(jnp.where(bwt6 >= 4, jnp.uint8(3), bwt6))
     # sidecars + conservation counts on device (keeps d2h tiny)
     n_sharp = jnp.sum((bwt6 == 4).astype(I32))
-    (sharp,) = jnp.nonzero(bwt6 == 4, size=max(1, n_reads - 1), fill_value=N)
+    (sharp,) = jnp.nonzero(bwt6 == 4, size=n_sharp_cap, fill_value=N)
     (dollar,) = jnp.nonzero(bwt6 == 5, size=1, fill_value=N)
-    counts6 = jnp.bincount(bwt6, length=6)
+    counts6 = jnp.bincount(
+        jnp.where(jnp.arange(N, dtype=I32) < n_real, bwt6.astype(I32), 6),
+        length=7,
+    )[:6]
     return bwt6, packed, sharp.astype(I32), dollar[0].astype(I32), n_sharp, counts6
 
 

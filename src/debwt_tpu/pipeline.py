@@ -40,7 +40,7 @@ class BwtResult:
     def bwt6(self) -> np.ndarray:
         b = self._bwt6
         if not isinstance(b, np.ndarray):
-            b = np.asarray(jax.device_get(b))
+            b = np.asarray(jax.device_get(b))[: self._n]
             object.__setattr__(self, "_bwt6", b)
         return b
 
@@ -69,6 +69,16 @@ def _pow2(x: int) -> int:
     return max(16, 1 << (int(x) - 1).bit_length())
 
 
+def _bucket(x: int) -> int:
+    """Next quarter-power-of-two >= x (<= 12.5% padding overhead) —
+    compile-shape bucketing so one compiled program serves a range of
+    input sizes."""
+    x = max(64, int(x))
+    b = (x - 1).bit_length()
+    step = 1 << max(0, b - 2)
+    return -(-x // step) * step
+
+
 def _split64(key64: np.ndarray):
     return (
         (key64 >> np.uint64(32)).astype(np.uint32),
@@ -90,10 +100,12 @@ def build_bwt(
 
     # ---- host: special module (tiny, irregular) ----
     sp = build_special(coll, m)
-    x2p = np.concatenate([coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)])
-    is_sep = np.zeros(N, dtype=bool)
+    N_cap = _bucket(N)
+    x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
+    x2p[:N] = coll.x2
+    is_sep = np.zeros(N_cap, dtype=bool)
     is_sep[coll.sep] = True
-    spec_branch_mask = np.zeros(N, dtype=bool)
+    spec_branch_mask = np.zeros(N_cap, dtype=bool)
     spec_branch_mask[sp.spec_branch_pos] = True
     s_hi, s_lo = _split64(sp.spec_tfill)
 
@@ -104,7 +116,8 @@ def build_bwt(
         d(s_hi), d(s_lo), d(sp.spec_bwt6),
         d(sp.spec_pos_sorted.astype(np.int32)),
         d(spec_branch_mask),
-        m, N,
+        jnp.int32(N),
+        m, N_cap,
     )
     (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
      bwt_char, L, B) = out
@@ -114,13 +127,14 @@ def build_bwt(
     bwt6_d, packed_d, sharp_d, dollar_d, n_sharp_d, counts_d = (
         engine.stage_finish(
             x2p_d, dist, mi_pos, base_pos, is_sp, sp_idx_of, bwt_char,
-            bwt6_partial, m, N, L_cap, B_cap, n,
+            bwt6_partial, jnp.int32(N), m, N_cap, L_cap, B_cap, _pow2(n),
         )
     )
     sharp = np.asarray(jax.device_get(sharp_d)).astype(np.int64)
     dollar = int(dollar_d)
     n_sharp = int(n_sharp_d)
     assert n_sharp == n - 1, (n_sharp, n)
+    assert (sharp[: n - 1] < N).all()
     assert dollar < N
     if config.check:
         counts = np.asarray(jax.device_get(counts_d))

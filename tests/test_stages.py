@@ -144,3 +144,25 @@ def test_rank_suffixes_true_order(rng):
     want = np.empty(60, dtype=np.int64)
     want[order] = np.arange(60)
     assert (r == want).all()
+
+
+def test_count_kmers_matches_counter(coll):
+    from collections import Counter
+
+    from debwt_tpu.count import count_kmers
+
+    m = 32
+    keys, counts = count_kmers(coll, m)
+    # brute force over the reads
+    want = Counter()
+    x2 = coll.x2
+    starts = np.concatenate([[0], coll.sep[:-1] + 1])
+    for s, e in zip(starts, coll.sep):
+        read = x2[s:e]
+        for i in range(len(read) - m + 1):
+            key = 0
+            for c in read[i : i + m]:
+                key = (key << 2) | int(c)
+            want[key] += 1
+    got = dict(zip((int(k) for k in keys), (int(c) for c in counts)))
+    assert got == dict(want)
