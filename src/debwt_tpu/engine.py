@@ -115,10 +115,10 @@ def stage_graph(
     r_pred = r_pay & 7
     r_head = (r_pay & 8) != 0
     r_char = r_pay >> 4
-    # non-main rows (r_spec == 2) sort to the tail; BWT coordinate of
-    # sorted row i is i for the first N rows... no: invalid rows count
-    # N - n_main = n_spec * ... — actually main+spec rows == N exactly,
-    # invalid rows = N - n_main at the tail; valid rows occupy [0, N).
+    # main rows + spec rows == n_real exactly (they partition the
+    # text); non-main and bucket-padding rows carry KEY_MAX and sort to
+    # the tail, so valid sorted rows occupy [0, n_real) and the sorted
+    # row index IS the BWT coordinate.
     row_valid = r_spec != 2
 
     # ---- segments: (key, is_spec) ----

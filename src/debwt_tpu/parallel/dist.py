@@ -601,9 +601,10 @@ def dist_build_bwt(
     (dollar,) = np.nonzero(bwt6 == K.DOLLAR)
     assert dollar.shape[0] == 1, dollar
     return BwtResult(
-        bwt6=bwt6,
         sharp_pos=sharp.astype(np.int64),
         dollar_pos=int(dollar[0]),
+        _bwt6=bwt6,
+        _n=N,
     )
 
 

@@ -144,3 +144,15 @@ def test_cli_end_to_end(tmp_path, fasta_file):
     g = golden_bwt(coll)
     assert open(obj, "rb").read() == g.packed()
     assert "LF invertibility: OK" in rc.stderr
+
+
+def test_fastq(tmp_path, rng):
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(3)]
+    path = tmp_path / "in.fq"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@q{i} extra\n{r}\n+\n{'I'*len(r)}\n")
+    got, names = read_fasta(str(path))
+    assert names == ["q0", "q1", "q2"]
+    for g, r in zip(got, reads):
+        assert "".join("ACGT"[c] for c in g) == r
