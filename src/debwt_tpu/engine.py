@@ -58,16 +58,23 @@ def _dist_from_sep(is_sep, n):
 @functools.partial(jax.jit, static_argnames=("m", "N"))
 def stage_graph(
     x2p,              # uint8[N + pad] 2-bit codes (separators as T)
-    is_sep,           # bool[N]
-    spec_hi, spec_lo,  # uint32[n_spec] T-filled special keys, true order
-    spec_char6,       # uint8[n_spec]
-    spec_rank_pos,    # int32[n_spec] special positions, true order
-    spec_branch_mask,  # bool[N]
+    sep_pos,          # int32[n_cap] separator positions (pad: >= N)
+    spec_hi, spec_lo,  # uint32[n_spec_cap] T-filled special keys, true
+                       # order; padding rows carry KEY_MAX/KEY_MAX
+    spec_char6,       # uint8[n_spec_cap]
+    spec_rank_pos,    # int32[n_spec_cap] special positions, true order
+    spec_branch_pos,  # int32[S_cap] special-branch positions (pad >= N)
     n_real,           # int32 scalar: true text length (N is the bucket)
     m: int,
     N: int,
 ):
     k = m - 1
+    # masks built on device from the tiny position lists (saves two
+    # N-sized host->device transfers)
+    is_sep = jnp.zeros(N, bool).at[sep_pos].set(True, mode="drop")
+    spec_branch_mask = jnp.zeros(N, bool).at[spec_branch_pos].set(
+        True, mode="drop"
+    )
     dist = _dist_from_sep(is_sep, N)
     whi, wlo = ops.window_keys(x2p[: N + k - 1], k)
     pos = jnp.arange(N, dtype=I32)
@@ -97,7 +104,8 @@ def stage_graph(
     r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
     r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
     k3_main = jnp.where(is_main, choice, jnp.uint8(16 * 2))
-    k3_spec = jnp.full(n_spec, 16, U8)  # is_spec=1, choice field 0
+    spec_pad = (spec_hi == KEY_MAX) & (spec_lo == KEY_MAX)
+    k3_spec = jnp.where(spec_pad, jnp.uint8(32), jnp.uint8(16))
     r_k3 = jnp.concatenate([k3_main, k3_spec])
     pay_main = (
         jnp.where(is_head, jnp.uint8(7), prev)

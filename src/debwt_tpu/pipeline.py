@@ -16,6 +16,9 @@ in their own right; this path is the single-chip fast path.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 from typing import Any
 
 import jax
@@ -90,6 +93,15 @@ def build_bwt(
     coll: SequenceCollection, config: PipelineConfig | None = None
 ) -> BwtResult:
     config = config or PipelineConfig()
+    trace = os.environ.get("DEBWT_TRACE") == "1"
+
+    def _t(label, t0):
+        if trace:
+            print(f"[debwt-tpu trace] {label:24s} {time.time()-t0:8.3f}s",
+                  file=sys.stderr)
+        return time.time()
+
+    t0 = time.time()
     m = config.m
     N = coll.bwt_len
     n = coll.n_reads
@@ -100,28 +112,37 @@ def build_bwt(
 
     # ---- host: special module (tiny, irregular) ----
     sp = build_special(coll, m)
+    t0 = _t("special module (host)", t0)
     N_cap = _bucket(N)
     x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
     x2p[:N] = coll.x2
-    is_sep = np.zeros(N_cap, dtype=bool)
-    is_sep[coll.sep] = True
-    spec_branch_mask = np.zeros(N_cap, dtype=bool)
-    spec_branch_mask[sp.spec_branch_pos] = True
     s_hi, s_lo = _split64(sp.spec_tfill)
 
+    def _padded(a, cap, fill):
+        out = np.full(cap, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    n_spec = s_hi.shape[0]
+    ns_cap = _pow2(n_spec)
     d = jnp.asarray
     x2p_d = d(x2p)
     out = engine.stage_graph(
-        x2p_d, d(is_sep),
-        d(s_hi), d(s_lo), d(sp.spec_bwt6),
-        d(sp.spec_pos_sorted.astype(np.int32)),
-        d(spec_branch_mask),
+        x2p_d,
+        _padded(coll.sep.astype(np.int32), _pow2(n), N_cap),
+        _padded(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
+        _padded(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
+        _padded(sp.spec_bwt6, ns_cap, 0),
+        _padded(sp.spec_pos_sorted.astype(np.int32), ns_cap, N_cap),
+        _padded(sp.spec_branch_pos.astype(np.int32), _pow2(max(1,
+            sp.spec_branch_pos.shape[0])), N_cap),
         jnp.int32(N),
         m, N_cap,
     )
     (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
      bwt_char, L, B) = out
     L, B = int(L), int(B)
+    t0 = _t("stage_graph (+h2d, sync)", t0)
     L_cap, B_cap = _pow2(L), _pow2(B)
 
     bwt6_d, packed_d, sharp_d, dollar_d, n_sharp_d, counts_d = (
@@ -132,6 +153,7 @@ def build_bwt(
     )
     sharp = np.asarray(jax.device_get(sharp_d)).astype(np.int64)
     dollar = int(dollar_d)
+    t0 = _t("stage_finish (+sync)", t0)
     n_sharp = int(n_sharp_d)
     assert n_sharp == n - 1, (n_sharp, n)
     assert (sharp[: n - 1] < N).all()
