@@ -1,0 +1,96 @@
+"""Direct unit tests of the fused engine's stage_graph against the
+NumPy model trace (flags, coordinates, SP stream)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debwt_tpu import constants as K
+from debwt_tpu import engine
+from debwt_tpu.model import build_model
+from debwt_tpu.pipeline import _bucket, _pow2, _split64
+from debwt_tpu.special import build_special
+from debwt_tpu.types import SequenceCollection
+
+
+def _run_graph(coll, m=32):
+    sp = build_special(coll, m)
+    N = coll.bwt_len
+    n = coll.n_reads
+    N_cap = _bucket(N)
+    x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
+    x2p[:N] = coll.x2
+    s_hi, s_lo = _split64(sp.spec_tfill)
+
+    def pad(a, cap, fill):
+        out = np.full(cap, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    ns_cap = _pow2(s_hi.shape[0])
+    return engine.stage_graph(
+        jnp.asarray(x2p),
+        pad(coll.sep.astype(np.int32), _pow2(n), N_cap),
+        pad(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
+        pad(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
+        pad(sp.spec_bwt6, ns_cap, 0),
+        pad(sp.spec_pos_sorted.astype(np.int32), ns_cap, N_cap),
+        pad(sp.spec_branch_pos.astype(np.int32),
+            _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap),
+        jnp.int32(N),
+        m, N_cap,
+    ), N
+
+
+@pytest.fixture
+def coll():
+    rng = np.random.default_rng(3)
+    frags = ["".join(rng.choice(list("ACGT"), size=25)) for _ in range(4)]
+    reads = [
+        "".join(rng.choice(frags) for _ in range(4)) for _ in range(4)
+    ] + ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(3)]
+    return SequenceCollection.from_reads(reads)
+
+
+def test_flags_and_sp_match_model(coll):
+    m = 32
+    _, tr = build_model(coll, m=m, trace=True)
+    out, N = _run_graph(coll, m)
+    (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
+     bwt_char, L, B) = out
+    is_sp_h = np.asarray(is_sp)[:N]
+    sp_pos = np.nonzero(is_sp_h)[0]
+    assert (sp_pos == tr.sp_positions).all()
+    assert int(L) == tr.sp_positions.shape[0]
+    # mi flags: blue positions are main positions of multi-in nodes
+    mi_h = np.asarray(mi_pos)[:N]
+    # reconstruct expected blue mask from the model
+    nxt = np.searchsorted(coll.sep, np.arange(N))
+    d = coll.sep[nxt] - np.arange(N)
+    main = d >= (m - 1)
+    # model: per main position, node multi_in
+    from debwt_tpu.model import key_of_rows, window_matrix
+
+    x6p = np.concatenate([coll.x6, np.full(32, 3, np.uint8)])
+    W = window_matrix(x6p, N, m - 1)
+    keys = key_of_rows(np.where(W[:, : m - 1] >= 4, 3, W[:, : m - 1]))
+    node_idx = np.searchsorted(tr.node_keys, keys)
+    node_idx = np.minimum(node_idx, len(tr.node_keys) - 1)
+    want_mi = main & tr.node_multi_in[node_idx] & (
+        tr.node_keys[node_idx] == keys
+    )
+    assert (mi_h == want_mi).all()
+    assert int(B) == int(want_mi.sum())
+
+
+def test_partial_bwt_case2_and_specials(coll):
+    m = 32
+    res, tr = build_model(coll, m=m, trace=True)
+    out, N = _run_graph(coll, m)
+    bwt6_partial = np.asarray(out[0])[:N]
+    # partial equals the final BWT everywhere except case-3 slots
+    # (which the model fills via blue sort; partial holds 0 there)
+    mismatch = bwt6_partial != res.bwt6
+    assert (bwt6_partial[mismatch] == 0).all()
+    # and at least the specials + case2 agree somewhere nontrivial
+    assert (~mismatch).sum() > 0.5 * N
