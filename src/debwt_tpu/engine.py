@@ -96,38 +96,55 @@ def stage_graph(
     )
 
     # ---- the one sort: main rows + special singletons ----
-    # third key packs (is_spec, choice) so ordering is
-    # (key, is_spec, choice); payload packs (pred, head, bwt_char) into
-    # one u8 — 5 sort operands total (compile + runtime win)
+    # 4 operands, 4 keys, unstable:
+    #   key3 (u16) = spec<<12 | choice<<8 | bwt_char<<4 | head<<3 | pred
+    #   key4 (i32) = position for main rows; N + (true_rank<<3 | char)
+    #                for special rows (so equal-key specials keep the
+    #                host-computed true order, and their char rides the
+    #                key — no payload operands at all).
+    # Folding the row payload into the keys is legal because rows with
+    # equal (window key, spec, choice) are interchangeable: case-2
+    # segments share one fill char and case-3 internal order is decided
+    # by the blue sort in stage_finish. key4 is globally distinct, so
+    # the unstable sort is deterministic.
+    U16 = jnp.uint16
     n_spec = spec_hi.shape[0]
     R = N + n_spec
     r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
     r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
-    k3_main = jnp.where(is_main, choice, jnp.uint8(16 * 2))
-    spec_pad = (spec_hi == KEY_MAX) & (spec_lo == KEY_MAX)
-    k3_spec = jnp.where(spec_pad, jnp.uint8(32), jnp.uint8(16))
-    r_k3 = jnp.concatenate([k3_main, k3_spec])
     pay_main = (
-        jnp.where(is_head, jnp.uint8(7), prev)
-        | (jnp.uint8(8) * (is_head & is_main).astype(U8))
-        | (bwt_char << 4)
+        (bwt_char.astype(U16) << 4)
+        | (jnp.uint16(8) * is_head.astype(U16))
+        | jnp.where(is_head, jnp.uint16(7), prev.astype(U16))
     )
-    pay_spec = jnp.uint8(7) | (spec_char6 << 4)
-    r_pay = jnp.concatenate([pay_main, pay_spec])
-    r_pos = jnp.concatenate([pos, spec_rank_pos])
-    r_hi, r_lo, r_k3, r_pay, r_pos = jax.lax.sort(
-        (r_hi, r_lo, r_k3, r_pay, r_pos), num_keys=3, is_stable=True
+    k16_main = jnp.where(
+        is_main,
+        (choice.astype(U16) << 8) | pay_main,
+        jnp.uint16(2 << 12),
     )
-    r_spec = r_k3 >> 4
-    r_choice = r_k3 & 15
-    r_pred = r_pay & 7
-    r_head = (r_pay & 8) != 0
-    r_char = r_pay >> 4
+    spec_pad = (spec_hi == KEY_MAX) & (spec_lo == KEY_MAX)
+    k16_spec = jnp.where(spec_pad, jnp.uint16(2 << 12), jnp.uint16(1 << 12))
+    r_k16 = jnp.concatenate([k16_main, k16_spec])
+    spec_ord = (
+        N
+        + (jnp.arange(n_spec, dtype=I32) << 3)
+        + spec_char6.astype(I32)
+    )
+    r_ord = jnp.concatenate([pos, spec_ord])
+    r_hi, r_lo, r_k16, r_ord = jax.lax.sort(
+        (r_hi, r_lo, r_k16, r_ord), num_keys=4
+    )
+    r_spec = (r_k16 >> 12).astype(U8)
+    r_choice = ((r_k16 >> 8) & 15).astype(U8)
+    r_pred = (r_k16 & 7).astype(U8)
+    r_head = (r_k16 & 8) != 0
+    spec_char_row = (r_ord & 7).astype(U8)
     # main rows + spec rows == n_real exactly (they partition the
     # text); non-main and bucket-padding rows carry KEY_MAX and sort to
     # the tail, so valid sorted rows occupy [0, n_real) and the sorted
     # row index IS the BWT coordinate.
     row_valid = r_spec != 2
+    is_node_row = r_spec == 0
 
     # ---- segments: (key, is_spec) ----
     newseg = jnp.ones(R, bool)
@@ -136,54 +153,71 @@ def stage_graph(
         | (r_lo[1:] != r_lo[:-1])
         | (r_spec[1:] != r_spec[:-1])
     )
-    seg = jnp.cumsum(newseg.astype(I32)) - 1
-    # distinct choices per node segment (rows sorted by choice within)
-    newpair = jnp.ones(R, bool)
-    newpair = newpair.at[1:].set(newseg[1:] | (r_choice[1:] != r_choice[:-1]))
-    n_choice = jax.ops.segment_sum(newpair.astype(I32), seg, num_segments=R)
-    max_choice = jax.ops.segment_max(
-        jnp.where(row_valid, r_choice, 0), seg, num_segments=R
+    is_last = jnp.concatenate([newseg[1:], jnp.ones(1, bool)])
+    # All per-segment facts are PRESENCE tests, so they reduce to
+    # per-row broadcast segment sums of indicator columns — computed
+    # with three O(R) scans (cumsum / cummax / reverse-cummin carry
+    # tricks; the cumsums are monotone so plain cummax/cummin carry the
+    # nearest boundary value) instead of scatter-based segment_* ops,
+    # which serialize on TPU.
+    choice_chg = jnp.zeros(R, bool).at[1:].set(
+        r_choice[1:] != r_choice[:-1]
     )
-    # distinct preds among non-head rows: presence bits
-    in_d = jnp.zeros(R, I32)
-    for b in range(4):
-        present = jax.ops.segment_max(
-            ((r_pred == b) & row_valid).astype(I32), seg, num_segments=R
-        )
-        in_d = in_d + present
-    head_present = jax.ops.segment_max(
-        r_head.astype(I32), seg, num_segments=R
+    mo_ind = ((choice_chg & ~newseg) | (r_choice >= 4)) & is_node_row
+    cols = jnp.stack(
+        [
+            (r_pred == 0) & is_node_row,
+            (r_pred == 1) & is_node_row,
+            (r_pred == 2) & is_node_row,
+            (r_pred == 3) & is_node_row,
+            r_head & is_node_row,
+            mo_ind,
+        ]
+    ).astype(I32)                      # (6, R): R minor => lane-major
+    S = jnp.cumsum(cols, axis=1)
+    S_excl = S - cols
+    seg_base = jax.lax.cummax(
+        jnp.where(newseg[None, :], S_excl, 0), axis=1
     )
-    pred_single = jax.ops.segment_max(
-        jnp.where(r_pred < 4, r_pred.astype(I32), -1), seg, num_segments=R
+    BIG = jnp.iinfo(jnp.int32).max
+    seg_end = jax.lax.cummin(
+        jnp.where(is_last[None, :], S, BIG), axis=1, reverse=True
     )
-    is_node_row = r_spec == 0
-    multi_out_seg = (n_choice >= 2) | (max_choice >= 4)
-    multi_in_seg = (in_d >= 2) | (head_present > 0)
-    # gather per-row segment facts (indices monotone -> cheap gather)
-    mo_row = multi_out_seg[seg] & is_node_row
-    mi_row = multi_in_seg[seg] & is_node_row
+    tot = seg_end - seg_base           # per-row broadcast segment sums
+    in_d = (
+        (tot[0] > 0).astype(I32) + (tot[1] > 0).astype(I32)
+        + (tot[2] > 0).astype(I32) + (tot[3] > 0).astype(I32)
+    )
+    mo_row = (tot[5] > 0) & is_node_row
+    mi_row = ((in_d >= 2) | (tot[4] > 0)) & is_node_row
+    pred_single = (
+        (tot[1] > 0).astype(I32)
+        + 2 * (tot[2] > 0).astype(I32)
+        + 3 * (tot[3] > 0).astype(I32)
+    )
     fill_row = jnp.where(
         r_spec == 1,
-        r_char,
-        jnp.where(
-            mi_row, jnp.uint8(0), jnp.maximum(pred_single[seg], 0).astype(U8)
-        ),
+        spec_char_row,
+        jnp.where(mi_row, jnp.uint8(0), pred_single.astype(U8)),
     )
     # segment start row == BWT block start (sorted index IS coordinate)
     idx = jnp.arange(R, dtype=I32)
     seg_start = jax.lax.cummax(jnp.where(newseg, idx, -1))
 
-    # ---- per-position outputs (scatter by original position) ----
-    mo_pos = jnp.zeros(N, bool).at[jnp.where(is_node_row, r_pos, N)].set(
-        mo_row, mode="drop"
+    # ---- per-position outputs: ONE packed scatter ----
+    # (seg_start << 2 | mi << 1 | mo) needs R < 2^29 — guaranteed by
+    # the int32 pipeline bound (pipeline.py raises at 2^31 and the
+    # packing here at 2^29; both route large inputs to the x64 tier).
+    assert R < (1 << 29), R
+    packed = (
+        (seg_start << 2) | (mi_row.astype(I32) << 1) | mo_row.astype(I32)
     )
-    mi_pos = jnp.zeros(N, bool).at[jnp.where(is_node_row, r_pos, N)].set(
-        mi_row, mode="drop"
-    )
-    base_pos = jnp.zeros(N, I32).at[jnp.where(is_node_row, r_pos, N)].set(
-        seg_start, mode="drop"
-    )
+    packed_pos = jnp.zeros(N, I32).at[
+        jnp.where(is_node_row, r_ord, N)
+    ].set(packed, mode="drop")
+    mo_pos = (packed_pos & 1) != 0
+    mi_pos = (packed_pos & 2) != 0
+    base_pos = packed_pos >> 2
     is_sp = mo_pos | spec_branch_mask
     sp_idx_of = ops.exclusive_cumsum(is_sp.astype(I32))
     L = jnp.sum(is_sp.astype(I32))
@@ -216,46 +250,64 @@ def stage_finish(
     is_dollar = is_sepc & (sp_pos + k == n_real - 1)
     sp6 = jnp.where(is_sepc, jnp.where(is_dollar, 5, 4), base_c).astype(U8)
     sp6 = jnp.where(sp_pos < N, sp6, 0)
-    # suffix ranks by prefix doubling over the zero-extended string
-    sp6_ext = jnp.concatenate([sp6, jnp.zeros(L_cap, U8)])
-    rank = _doubling_ranks(sp6_ext)[:L_cap]
+    # Suffix ranks by prefix doubling directly over sp6[0:L_cap]. The
+    # capacity tail beyond the true L is zero-filled; since 0 is the
+    # minimum char, comparisons against the tail resolve exactly like
+    # the -1 out-of-range sentinel (first nonzero real char wins, else
+    # the shorter suffix is smaller) — so the tail length is
+    # semantically irrelevant and no 2x extension is needed.
+    rank = _doubling_ranks(sp6)
 
-    # blue entries
+    # blue entries; key3 = bp<<3 | bwt_char keeps equal-(block, rank)
+    # entries in ascending-position order (the reference's queue-drain
+    # discipline, src/generateSP.c:662-680) while the char rides the
+    # key — 3 operands, 3 distinct keys, no payload.
     (bp,) = jnp.nonzero(mi_pos, size=B_cap, fill_value=N)
     bp = bp.astype(I32)
     bval = bp < N
     bpc = jnp.minimum(bp, N - 1)
     b_base = jnp.where(bval, base_pos[bpc], N)
     b_rank = rank[jnp.minimum(sp_idx_of[bpc], L_cap - 1)]
-    b_char = bwt_char[bpc]
-    base_s, _, char_s = jax.lax.sort(
-        (b_base, b_rank, b_char.astype(I32)), num_keys=2
-    )
+    b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
+    base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)
+    char_s = (pc_s & 7).astype(U8)
     idx = jnp.arange(B_cap, dtype=I32)
     first = jnp.ones(B_cap, bool).at[1:].set(base_s[1:] != base_s[:-1])
     within = idx - jax.lax.cummax(jnp.where(first, idx, -1))
     tgt = jnp.where(base_s < N, base_s + within, N)
-    bwt6 = bwt6_partial.at[tgt].set(char_s.astype(U8), mode="drop")
+    bwt6 = bwt6_partial.at[tgt].set(char_s, mode="drop")
     # zero the bucket-padding tail so packed words are clean
     bwt6 = jnp.where(jnp.arange(N, dtype=I32) < n_real, bwt6, 0)
     packed = ops.pack_2bit_words(jnp.where(bwt6 >= 4, jnp.uint8(3), bwt6))
-    # sidecars + conservation counts on device (keeps d2h tiny)
+    # sidecars + conservation counts on device (keeps d2h tiny);
+    # counts via masked sums, not bincount (scatter-add serializes)
     n_sharp = jnp.sum((bwt6 == 4).astype(I32))
     (sharp,) = jnp.nonzero(bwt6 == 4, size=n_sharp_cap, fill_value=N)
     (dollar,) = jnp.nonzero(bwt6 == 5, size=1, fill_value=N)
-    counts6 = jnp.bincount(
-        jnp.where(jnp.arange(N, dtype=I32) < n_real, bwt6.astype(I32), 6),
-        length=7,
-    )[:6]
+    in_range = jnp.arange(N, dtype=I32) < n_real
+    counts6 = jnp.stack(
+        [jnp.sum((bwt6 == c) & in_range, dtype=I32) for c in range(6)]
+    )
     return bwt6, packed, sharp.astype(I32), dollar[0].astype(I32), n_sharp, counts6
 
 
-def _doubling_ranks(sp6_ext):
+def _doubling_ranks(sp6):
     """Prefix-doubling suffix ranks; a while_loop so the body compiles
     once and iteration stops as soon as all ranks are distinct (a few
-    rounds on genome-like SP strings)."""
-    M = sp6_ext.shape[0]
+    rounds on genome-like SP strings).
+
+    Round 0 ranks pack 8 chars (3 bits each, values 0-5) into one
+    int32 — order-preserving over the 8-char prefix, so doubling
+    starts at step 8 and skips three sort rounds. The initial rank
+    need not be dense: the body only uses rank order/equality.
+    """
+    M = sp6.shape[0]
     idx = jnp.arange(M, dtype=I32)
+    H0 = 8
+    rank0 = jnp.zeros(M, I32)
+    c_pad = jnp.concatenate([sp6.astype(I32), jnp.zeros(H0, I32)])
+    for i in range(H0):                  # static slices, not gathers
+        rank0 = (rank0 << 3) | c_pad[i : i + M]
 
     def body(carry):
         rank, step, _done = carry
@@ -274,9 +326,8 @@ def _doubling_ranks(sp6_ext):
         _rank, step, done = carry
         return (~done) & (step < 2 * M)
 
-    rank0 = sp6_ext.astype(I32)
     rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank0, jnp.int32(1), jnp.bool_(False))
+        cond, body, (rank0, jnp.int32(H0), jnp.bool_(False))
     )
     # final index tie-break for exact distinctness (pad-region ties)
     r_s, i_s = jax.lax.sort((rank, idx), num_keys=2)

@@ -24,20 +24,46 @@ def window_keys(x2: jnp.ndarray, w: int):
     """(hi, lo) uint32 keys of the w-char windows at every position.
 
     x2: uint8[P] 2-bit codes, already tail-padded so that reads at
-    [p, p+w) are in bounds for p < P - w + 1. Returns arrays of length
-    P - w + 1... no: length len(x2) - w + 1 is awkward for callers;
-    instead the caller passes x2 padded to N + w and we return N keys.
+    [p, p+w) are in bounds for p < P - w + 1. Returns n_out = P - w + 1
+    keys; key(p) = sum_i x2[p+i] * 4**(w-1-i), low-aligned in the
+    64-bit (hi, lo) pair.
+
+    Built by logarithmic doubling: D_j[p] packs the j-char window at p
+    (D_2j[p] = D_j[p] << 2j | D_j[p+j]), then w's binary decomposition
+    is appended greedily — O(log w) shifted ORs instead of the naive w
+    (the reference extracts windows per-position from packed u64 words,
+    src/collect#$.c:243-251; on TPU contiguous shifted slices beat
+    per-position word gathers).
     """
-    n_out = x2.shape[0] - w + 1
+    P = x2.shape[0]
+    n_out = P - w + 1
+    assert 1 <= w <= 32, w
+    d = {1: x2.astype(U32)}
+    p = 1
+    while 2 * p <= min(w, 16):
+        prev = d[p]
+        m_len = prev.shape[0] - p
+        d[2 * p] = (prev[:m_len] << (2 * p)) | prev[p : p + m_len]
+        p *= 2
+    parts = []
+    rem = w
+    for q in (16, 8, 4, 2, 1):
+        while rem >= q and q in d:
+            parts.append(q)
+            rem -= q
+    assert rem == 0, (w, parts)
+    off = parts[0]
     hi = jnp.zeros(n_out, dtype=U32)
-    lo = jnp.zeros(n_out, dtype=U32)
-    for i in range(w):
-        c = x2[i : i + n_out].astype(U32)
-        shift = 2 * (w - 1 - i)
-        if shift >= 32:
-            hi = hi | (c << (shift - 32))
+    lo = d[parts[0]][:n_out]
+    for q in parts[1:]:
+        chunk = d[q][off : off + n_out]
+        s = 2 * q
+        if s == 32:
+            hi, lo = lo, chunk
         else:
-            lo = lo | (c << shift)
+            hi = (hi << s) | (lo >> (32 - s))
+            lo = (lo << s) | chunk
+        off += q
     return hi, lo
 
 
