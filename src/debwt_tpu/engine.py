@@ -138,7 +138,7 @@ def stage_graph(
     r_choice = ((r_k16 >> 8) & 15).astype(U8)
     r_pred = (r_k16 & 7).astype(U8)
     r_head = (r_k16 & 8) != 0
-    spec_char_row = (r_ord & 7).astype(U8)
+    spec_char_row = ((r_ord - N) & 7).astype(U8)   # spec rows only
     # main rows + spec rows == n_real exactly (they partition the
     # text); non-main and bucket-padding rows carry KEY_MAX and sort to
     # the tail, so valid sorted rows occupy [0, n_real) and the sorted
@@ -174,35 +174,46 @@ def stage_graph(
             mo_ind,
         ]
     ).astype(I32)                      # (6, R): R minor => lane-major
-    S = jnp.cumsum(cols, axis=1)
+    S = jnp.cumsum(cols, axis=1)       # wide scan 1
     S_excl = S - cols
-    seg_base = jax.lax.cummax(
-        jnp.where(newseg[None, :], S_excl, 0), axis=1
-    )
     BIG = jnp.iinfo(jnp.int32).max
-    seg_end = jax.lax.cummin(
+    seg_end = jax.lax.cummin(          # wide scan 2: segment-end sums,
         jnp.where(is_last[None, :], S, BIG), axis=1, reverse=True
-    )
-    tot = seg_end - seg_base           # per-row broadcast segment sums
+    )                                  # broadcast back to every row
+    tot = seg_end - S_excl             # valid AT segment-start rows
     in_d = (
         (tot[0] > 0).astype(I32) + (tot[1] > 0).astype(I32)
         + (tot[2] > 0).astype(I32) + (tot[3] > 0).astype(I32)
     )
-    mo_row = (tot[5] > 0) & is_node_row
-    mi_row = ((in_d >= 2) | (tot[4] > 0)) & is_node_row
-    pred_single = (
+    mo_seg = tot[5] > 0
+    mi_seg = (in_d >= 2) | (tot[4] > 0)
+    pred_sum = (
         (tot[1] > 0).astype(I32)
         + 2 * (tot[2] > 0).astype(I32)
         + 3 * (tot[3] > 0).astype(I32)
     )
+    # only meaningful when in_d == 1; clamp to its 2-bit field (the sum
+    # reaches 6 for multi-pred segments and would bleed into idx bits)
+    pred_single = jnp.where(in_d == 1, pred_sum, 0)
+    # one narrow scan broadcasts (seg start row, 4-bit facts) from the
+    # start row to the whole segment: monotone because idx rides the
+    # high bits (needs R < 2^27 — covered by the 2^29 packing assert
+    # below plus this one)
+    assert R < (1 << 27), R
+    idx = jnp.arange(R, dtype=I32)
+    facts = (
+        (pred_single << 2) | (mi_seg.astype(I32) << 1) | mo_seg.astype(I32)
+    )
+    bcast = jax.lax.cummax(jnp.where(newseg, (idx << 4) | facts, -1))
+    seg_start = bcast >> 4
+    mo_row = ((bcast & 1) != 0) & is_node_row
+    mi_row = ((bcast & 2) != 0) & is_node_row
+    pred_single_row = ((bcast >> 2) & 3).astype(U8)
     fill_row = jnp.where(
         r_spec == 1,
         spec_char_row,
-        jnp.where(mi_row, jnp.uint8(0), pred_single.astype(U8)),
+        jnp.where(mi_row, jnp.uint8(0), pred_single_row),
     )
-    # segment start row == BWT block start (sorted index IS coordinate)
-    idx = jnp.arange(R, dtype=I32)
-    seg_start = jax.lax.cummax(jnp.where(newseg, idx, -1))
 
     # ---- per-position outputs: ONE packed scatter ----
     # (seg_start << 2 | mi << 1 | mo) needs R < 2^29 — guaranteed by
@@ -240,9 +251,17 @@ def stage_finish(
     m: int, N: int, L_cap: int, B_cap: int, n_sharp_cap: int = 1,
 ):
     k = m - 1
+    # Compactions: stream-compact the j-th set position of a mask as
+    # searchsorted(inclusive-cumsum, j+1) — one narrow scan plus
+    # O(cap · log N) small gathers, instead of nonzero's full-length
+    # scatter.
+    def _compact(cs_incl, cap):
+        q = jnp.arange(cap, dtype=I32) + 1
+        p = jnp.searchsorted(cs_incl, q, side="left").astype(I32)
+        return jnp.where(q <= cs_incl[-1], p, N)
+
     # SP string
-    (sp_pos,) = jnp.nonzero(is_sp, size=L_cap, fill_value=N)
-    sp_pos = sp_pos.astype(I32)
+    sp_pos = _compact(sp_idx_of + is_sp.astype(I32), L_cap)
     at = jnp.minimum(sp_pos + k, x2p.shape[0] - 1)
     base_c = x2p[at].astype(U8)
     d_at = dist[jnp.minimum(sp_pos, N - 1)]
@@ -262,8 +281,7 @@ def stage_finish(
     # entries in ascending-position order (the reference's queue-drain
     # discipline, src/generateSP.c:662-680) while the char rides the
     # key — 3 operands, 3 distinct keys, no payload.
-    (bp,) = jnp.nonzero(mi_pos, size=B_cap, fill_value=N)
-    bp = bp.astype(I32)
+    bp = _compact(jnp.cumsum(mi_pos.astype(I32)), B_cap)
     bval = bp < N
     bpc = jnp.minimum(bp, N - 1)
     b_base = jnp.where(bval, base_pos[bpc], N)
@@ -281,14 +299,15 @@ def stage_finish(
     packed = ops.pack_2bit_words(jnp.where(bwt6 >= 4, jnp.uint8(3), bwt6))
     # sidecars + conservation counts on device (keeps d2h tiny);
     # counts via masked sums, not bincount (scatter-add serializes)
-    n_sharp = jnp.sum((bwt6 == 4).astype(I32))
-    (sharp,) = jnp.nonzero(bwt6 == 4, size=n_sharp_cap, fill_value=N)
-    (dollar,) = jnp.nonzero(bwt6 == 5, size=1, fill_value=N)
+    cs4 = jnp.cumsum((bwt6 == 4).astype(I32))
+    n_sharp = cs4[-1]
+    sharp = _compact(cs4, n_sharp_cap)
+    dollar = jnp.argmax(bwt6 == 5).astype(I32)   # exactly one '$'
     in_range = jnp.arange(N, dtype=I32) < n_real
     counts6 = jnp.stack(
         [jnp.sum((bwt6 == c) & in_range, dtype=I32) for c in range(6)]
     )
-    return bwt6, packed, sharp.astype(I32), dollar[0].astype(I32), n_sharp, counts6
+    return bwt6, packed, sharp, dollar, n_sharp, counts6
 
 
 def _doubling_ranks(sp6):

@@ -73,12 +73,12 @@ def _pow2(x: int) -> int:
 
 
 def _bucket(x: int) -> int:
-    """Next quarter-power-of-two >= x (<= 12.5% padding overhead) —
+    """Next eighth-power-of-two >= x (<= 12.5% padding overhead) —
     compile-shape bucketing so one compiled program serves a range of
     input sizes."""
     x = max(64, int(x))
     b = (x - 1).bit_length()
-    step = 1 << max(0, b - 2)
+    step = 1 << max(0, b - 3)
     return -(-x // step) * step
 
 
