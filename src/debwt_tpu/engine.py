@@ -44,6 +44,7 @@ from debwt_tpu import ops
 I32 = jnp.int32
 U8 = jnp.uint8
 KEY_MAX = jnp.uint32(0xFFFFFFFF)
+TAIL_PAD = 32     # == constants.TAIL_PAD (reference: src/collect#$.c:87-90)
 
 
 def _dist_from_sep(is_sep, n):
@@ -55,20 +56,21 @@ def _dist_from_sep(is_sep, n):
     return nxt - idx
 
 
-@functools.partial(jax.jit, static_argnames=("m", "N"))
+@functools.partial(jax.jit, static_argnames=("m", "N", "_force_wide"))
 def stage_graph(
-    x2p,              # uint8[N + pad] 2-bit codes (separators as T)
+    x2w,              # uint32[(N+pad)/16] packed 2-bit codes (seps as T)
     sep_pos,          # int32[n_cap] separator positions (pad: >= N)
     spec_hi, spec_lo,  # uint32[n_spec_cap] T-filled special keys, true
                        # order; padding rows carry KEY_MAX/KEY_MAX
     spec_char6,       # uint8[n_spec_cap]
-    spec_rank_pos,    # int32[n_spec_cap] special positions, true order
     spec_branch_pos,  # int32[S_cap] special-branch positions (pad >= N)
     n_real,           # int32 scalar: true text length (N is the bucket)
     m: int,
     N: int,
+    _force_wide: bool = False,   # test hook: exercise the N>=2^24 path
 ):
     k = m - 1
+    x2p = ops.unpack_2bit_words(x2w, N + TAIL_PAD)
     # masks built on device from the tiny position lists (saves two
     # N-sized host->device transfers)
     is_sep = jnp.zeros(N, bool).at[sep_pos].set(True, mode="drop")
@@ -76,94 +78,147 @@ def stage_graph(
         True, mode="drop"
     )
     dist = _dist_from_sep(is_sep, N)
-    whi, wlo = ops.window_keys(x2p[: N + k - 1], k)
     pos = jnp.arange(N, dtype=I32)
     is_main = (dist >= k) & (pos < n_real)
     is_head = (pos == 0) | jnp.concatenate(
         [jnp.zeros(1, bool), is_sep[:-1]]
     )
-    # choice char at p+k (4/'#' or 5/'$' exactly when dist == k)
-    nextc = x2p[pos + k].astype(U8)
     is_tailw = dist == k
-    choice = jnp.where(
-        is_tailw, jnp.where(pos + k == n_real - 1, jnp.uint8(5), jnp.uint8(4)),
-        nextc,
-    )
     # predecessor chars
     prev = x2p[jnp.maximum(pos - 1, 0)].astype(U8)
     bwt_char = jnp.where(
         pos == 0, jnp.uint8(5), jnp.where(is_head, jnp.uint8(4), prev)
     )
-
-    # ---- the one sort: main rows + special singletons ----
-    # 4 operands, 4 keys, unstable:
-    #   key3 (u16) = spec<<12 | choice<<8 | bwt_char<<4 | head<<3 | pred
-    #   key4 (i32) = position for main rows; N + (true_rank<<3 | char)
-    #                for special rows (so equal-key specials keep the
-    #                host-computed true order, and their char rides the
-    #                key — no payload operands at all).
-    # Folding the row payload into the keys is legal because rows with
-    # equal (window key, spec, choice) are interchangeable: case-2
-    # segments share one fill char and case-3 internal order is decided
-    # by the blue sort in stage_finish. key4 is globally distinct, so
-    # the unstable sort is deterministic.
-    U16 = jnp.uint16
     n_spec = spec_hi.shape[0]
     R = N + n_spec
-    r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
-    r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
-    pay_main = (
-        (bwt_char.astype(U16) << 4)
-        | (jnp.uint16(8) * is_head.astype(U16))
-        | jnp.where(is_head, jnp.uint16(7), prev.astype(U16))
-    )
-    k16_main = jnp.where(
-        is_main,
-        (choice.astype(U16) << 8) | pay_main,
-        jnp.uint16(2 << 12),
-    )
     spec_pad = (spec_hi == KEY_MAX) & (spec_lo == KEY_MAX)
-    k16_spec = jnp.where(spec_pad, jnp.uint16(2 << 12), jnp.uint16(1 << 12))
-    r_k16 = jnp.concatenate([k16_main, k16_spec])
-    spec_ord = (
-        N
-        + (jnp.arange(n_spec, dtype=I32) << 3)
-        + spec_char6.astype(I32)
-    )
-    r_ord = jnp.concatenate([pos, spec_ord])
-    r_hi, r_lo, r_k16, r_ord = jax.lax.sort(
-        (r_hi, r_lo, r_k16, r_ord), num_keys=4
-    )
-    r_spec = (r_k16 >> 12).astype(U8)
-    r_choice = ((r_k16 >> 8) & 15).astype(U8)
-    r_pred = (r_k16 & 7).astype(U8)
-    r_head = (r_k16 & 8) != 0
-    spec_char_row = ((r_ord - N) & 7).astype(U8)   # spec rows only
+    spec_j = jnp.arange(n_spec, dtype=I32)
+    predf = jnp.where(is_head, jnp.uint8(7), prev).astype(I32)
+
+    if N < (1 << 24) and not _force_wide:
+        # ---- fast path: m-window 64-bit keys, 3 operands, 3 keys ----
+        # The m-window key IS (node key << 2 | next text char), so the
+        # sort groups by node AND by real choice char for free; the
+        # separator choices ('#'/'$', T-encoded in the text) collapse
+        # onto real-T rows, which is harmless because any tail window
+        # already forces multi-out. All row data packs into the i32
+        # third key:
+        #   main:    pos<<5 | tailw<<4 | head<<3 | pred    (class 0)
+        #   special: 1<<29 | true_rank<<3 | char           (class 1)
+        #   invalid: 3<<29 | i                             (class 3)
+        # Classes order main < special < invalid within equal keys;
+        # invalid rows only tie with the all-T m-window (the maximum
+        # key), so valid rows still occupy exactly [0, n_real).
+        whi, wlo = ops.window_keys(x2p[: N + m - 1], m)
+        s_hi2 = (spec_hi << 2) | (spec_lo >> 30)   # spec62<<2 | T-fill
+        s_lo2 = (spec_lo << 2) | 3
+        r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), s_hi2])
+        r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), s_lo2])
+        ord_main = jnp.where(
+            is_main,
+            (pos << 5)
+            | (is_tailw.astype(I32) << 4)
+            | (is_head.astype(I32) << 3)
+            | predf,
+            (3 << 29) | pos,
+        )
+        ord_spec = jnp.where(
+            spec_pad,
+            (3 << 29) | (N + spec_j),
+            (1 << 29) | (spec_j << 3) | spec_char6.astype(I32),
+        )
+        r_ord = jnp.concatenate([ord_main, ord_spec])
+        r_hi, r_lo, r_ord = jax.lax.sort((r_hi, r_lo, r_ord), num_keys=3)
+        r_class = (r_ord >> 29) & 3
+        is_node_row = r_class == 0
+        row_valid = r_class <= 1
+        r_pred = (r_ord & 7).astype(U8)
+        r_head = (r_ord & 8) != 0
+        r_tailw = (r_ord & 16) != 0
+        spec_char_row = (r_ord & 7).astype(U8)     # class-1 rows only
+        r_pos = (r_ord >> 5) & 0xFFFFFF            # class-0 rows only
+        is_spec1 = r_class == 1
+        node_lo = r_lo >> 2
+        newseg = jnp.ones(R, bool)
+        newseg = newseg.at[1:].set(
+            (r_hi[1:] != r_hi[:-1])
+            | (node_lo[1:] != node_lo[:-1])
+            | (r_class[1:] != r_class[:-1])
+        )
+        choice_chg = jnp.zeros(R, bool).at[1:].set(
+            (r_lo[1:] & 3) != (r_lo[:-1] & 3)
+        )
+        mo_ind = ((choice_chg & ~newseg) | r_tailw) & is_node_row
+    else:
+        # ---- wide path (N >= 2^24): (k-window, u16 class key, pos) ----
+        # 4 operands, 4 keys:
+        #   key3 (u16) = spec<<12 | choice<<8 | bwt_char<<4 | head<<3 | pred
+        #   key4 (i32) = position for main rows; N + (true_rank<<3|char)
+        #                for special rows.
+        # Folding the row payload into the keys is legal because rows
+        # with equal (window key, spec, choice) are interchangeable:
+        # case-2 segments share one fill char and case-3 internal order
+        # is decided by the blue sort in stage_finish.
+        U16 = jnp.uint16
+        whi, wlo = ops.window_keys(x2p[: N + k - 1], k)
+        nextc = x2p[pos + k].astype(U8)
+        choice = jnp.where(
+            is_tailw,
+            jnp.where(pos + k == n_real - 1, jnp.uint8(5), jnp.uint8(4)),
+            nextc,
+        )
+        r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
+        r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
+        pay_main = (
+            (bwt_char.astype(U16) << 4)
+            | (jnp.uint16(8) * is_head.astype(U16))
+            | predf.astype(U16)
+        )
+        k16_main = jnp.where(
+            is_main,
+            (choice.astype(U16) << 8) | pay_main,
+            jnp.uint16(2 << 12),
+        )
+        k16_spec = jnp.where(
+            spec_pad, jnp.uint16(2 << 12), jnp.uint16(1 << 12)
+        )
+        r_k16 = jnp.concatenate([k16_main, k16_spec])
+        spec_ord = N + (spec_j << 3) + spec_char6.astype(I32)
+        r_ord = jnp.concatenate([pos, spec_ord])
+        r_hi, r_lo, r_k16, r_ord = jax.lax.sort(
+            (r_hi, r_lo, r_k16, r_ord), num_keys=4
+        )
+        r_spec = (r_k16 >> 12).astype(U8)
+        r_choice = ((r_k16 >> 8) & 15).astype(U8)
+        r_pred = (r_k16 & 7).astype(U8)
+        r_head = (r_k16 & 8) != 0
+        spec_char_row = ((r_ord - N) & 7).astype(U8)
+        row_valid = r_spec != 2
+        is_node_row = r_spec == 0
+        is_spec1 = r_spec == 1
+        r_pos = r_ord
+        newseg = jnp.ones(R, bool)
+        newseg = newseg.at[1:].set(
+            (r_hi[1:] != r_hi[:-1])
+            | (r_lo[1:] != r_lo[:-1])
+            | (r_spec[1:] != r_spec[:-1])
+        )
+        choice_chg = jnp.zeros(R, bool).at[1:].set(
+            r_choice[1:] != r_choice[:-1]
+        )
+        mo_ind = ((choice_chg & ~newseg) | (r_choice >= 4)) & is_node_row
+
     # main rows + spec rows == n_real exactly (they partition the
     # text); non-main and bucket-padding rows carry KEY_MAX and sort to
     # the tail, so valid sorted rows occupy [0, n_real) and the sorted
     # row index IS the BWT coordinate.
-    row_valid = r_spec != 2
-    is_node_row = r_spec == 0
-
-    # ---- segments: (key, is_spec) ----
-    newseg = jnp.ones(R, bool)
-    newseg = newseg.at[1:].set(
-        (r_hi[1:] != r_hi[:-1])
-        | (r_lo[1:] != r_lo[:-1])
-        | (r_spec[1:] != r_spec[:-1])
-    )
     is_last = jnp.concatenate([newseg[1:], jnp.ones(1, bool)])
     # All per-segment facts are PRESENCE tests, so they reduce to
     # per-row broadcast segment sums of indicator columns — computed
-    # with three O(R) scans (cumsum / cummax / reverse-cummin carry
-    # tricks; the cumsums are monotone so plain cummax/cummin carry the
-    # nearest boundary value) instead of scatter-based segment_* ops,
-    # which serialize on TPU.
-    choice_chg = jnp.zeros(R, bool).at[1:].set(
-        r_choice[1:] != r_choice[:-1]
-    )
-    mo_ind = ((choice_chg & ~newseg) | (r_choice >= 4)) & is_node_row
+    # with O(R) scans (cumsum / reverse-cummin carry tricks; the
+    # cumsums are monotone so plain cummin carries the nearest boundary
+    # value) instead of scatter-based segment_* ops, which serialize
+    # on TPU.
     cols = jnp.stack(
         [
             (r_pred == 0) & is_node_row,
@@ -210,7 +265,7 @@ def stage_graph(
     mi_row = ((bcast & 2) != 0) & is_node_row
     pred_single_row = ((bcast >> 2) & 3).astype(U8)
     fill_row = jnp.where(
-        r_spec == 1,
+        is_spec1,
         spec_char_row,
         jnp.where(mi_row, jnp.uint8(0), pred_single_row),
     )
@@ -224,7 +279,7 @@ def stage_graph(
         (seg_start << 2) | (mi_row.astype(I32) << 1) | mo_row.astype(I32)
     )
     packed_pos = jnp.zeros(N, I32).at[
-        jnp.where(is_node_row, r_ord, N)
+        jnp.where(is_node_row, r_pos, N)
     ].set(packed, mode="drop")
     mo_pos = (packed_pos & 1) != 0
     mi_pos = (packed_pos & 2) != 0
@@ -236,9 +291,10 @@ def stage_graph(
 
     # partial BWT: case-2 runs + specials in place; case-3 slots zeroed
     bwt6_partial = jnp.where(row_valid, fill_row, 0)[:N]
+    # x2p stays device-resident for stage_finish (no re-transfer)
     return (
         bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
-        bwt_char, L, B,
+        bwt_char, L, B, x2p,
     )
 
 

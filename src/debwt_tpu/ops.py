@@ -158,6 +158,30 @@ def key2_shift_right2(hi, lo):
     return hi >> 2, (hi << 30) | (lo >> 2)
 
 
+def pack_2bit_words_host(x2):
+    """NumPy host-side 2-bit pack into uint32 words (16 codes/word,
+    first code in bits 31:30) — used to shrink the host->device text
+    transfer 4x; ops.unpack_2bit_words inverts it on device."""
+    import numpy as np
+
+    n = x2.shape[0]
+    n_words = (n + 15) // 16
+    pad = np.zeros(n_words * 16, dtype=np.uint32)
+    pad[:n] = x2
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    return (pad.reshape(n_words, 16) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint32
+    )
+
+
+def unpack_2bit_words(words: jnp.ndarray, n: int):
+    """Device-side inverse of pack_2bit_words_host: uint32 words ->
+    uint8[n] 2-bit codes."""
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.uint32))).astype(jnp.uint32)
+    codes = ((words[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    return codes.reshape(-1)[:n]
+
+
 def pack_2bit_words(codes: jnp.ndarray):
     """Pack uint8 2-bit codes into uint32 words, 16 codes/word,
     first code in bits 31:30 (matching the reference's u64 layout when

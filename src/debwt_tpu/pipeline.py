@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from debwt_tpu import constants as K
-from debwt_tpu import engine
+from debwt_tpu import engine, ops
 from debwt_tpu.special import build_special
 from debwt_tpu.types import PipelineConfig, SequenceCollection
 
@@ -126,21 +126,21 @@ def build_bwt(
     n_spec = s_hi.shape[0]
     ns_cap = _pow2(n_spec)
     d = jnp.asarray
-    x2p_d = d(x2p)
+    # 2-bit packed text transfer: 4x less host->device traffic
+    x2w_d = d(ops.pack_2bit_words_host(x2p))
     out = engine.stage_graph(
-        x2p_d,
+        x2w_d,
         _padded(coll.sep.astype(np.int32), _pow2(n), N_cap),
         _padded(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
         _padded(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
         _padded(sp.spec_bwt6, ns_cap, 0),
-        _padded(sp.spec_pos_sorted.astype(np.int32), ns_cap, N_cap),
         _padded(sp.spec_branch_pos.astype(np.int32), _pow2(max(1,
             sp.spec_branch_pos.shape[0])), N_cap),
         jnp.int32(N),
         m, N_cap,
     )
     (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
-     bwt_char, L, B) = out
+     bwt_char, L, B, x2p_d) = out
     L, B = int(L), int(B)
     t0 = _t("stage_graph (+h2d, sync)", t0)
     L_cap, B_cap = _pow2(L), _pow2(B)

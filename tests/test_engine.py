@@ -28,13 +28,14 @@ def _run_graph(coll, m=32):
         return jnp.asarray(out)
 
     ns_cap = _pow2(s_hi.shape[0])
+    from debwt_tpu import ops
+
     return engine.stage_graph(
-        jnp.asarray(x2p),
+        jnp.asarray(ops.pack_2bit_words_host(x2p)),
         pad(coll.sep.astype(np.int32), _pow2(n), N_cap),
         pad(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
         pad(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
         pad(sp.spec_bwt6, ns_cap, 0),
-        pad(sp.spec_pos_sorted.astype(np.int32), ns_cap, N_cap),
         pad(sp.spec_branch_pos.astype(np.int32),
             _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap),
         jnp.int32(N),
@@ -57,7 +58,7 @@ def test_flags_and_sp_match_model(coll):
     _, tr = build_model(coll, m=m, trace=True)
     out, N = _run_graph(coll, m)
     (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
-     bwt_char, L, B) = out
+     bwt_char, L, B, _x2p) = out
     is_sp_h = np.asarray(is_sp)[:N]
     sp_pos = np.nonzero(is_sp_h)[0]
     assert (sp_pos == tr.sp_positions).all()
@@ -81,6 +82,42 @@ def test_flags_and_sp_match_model(coll):
     )
     assert (mi_h == want_mi).all()
     assert int(B) == int(want_mi.sum())
+
+
+def test_wide_path_matches_fast_path(coll):
+    """The N>=2^24 (4-operand k-window) sort path must produce the same
+    outputs as the m-window fast path."""
+    m = 32
+    sp = build_special(coll, m)
+    N = coll.bwt_len
+    n = coll.n_reads
+    N_cap = _bucket(N)
+    x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
+    x2p[:N] = coll.x2
+    s_hi, s_lo = _split64(sp.spec_tfill)
+
+    def pad(a, cap, fill):
+        out = np.full(cap, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    from debwt_tpu import ops
+
+    ns_cap = _pow2(s_hi.shape[0])
+    args = (
+        jnp.asarray(ops.pack_2bit_words_host(x2p)),
+        pad(coll.sep.astype(np.int32), _pow2(n), N_cap),
+        pad(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
+        pad(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
+        pad(sp.spec_bwt6, ns_cap, 0),
+        pad(sp.spec_branch_pos.astype(np.int32),
+            _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap),
+        jnp.int32(N),
+    )
+    fast = engine.stage_graph(*args, m, N_cap)
+    wide = engine.stage_graph(*args, m, N_cap, _force_wide=True)
+    for a, b in zip(fast, wide):
+        assert (np.asarray(a) == np.asarray(b)).all()
 
 
 def test_partial_bwt_case2_and_specials(coll):
