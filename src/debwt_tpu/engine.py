@@ -325,13 +325,14 @@ def stage_finish(
     is_dollar = is_sepc & (sp_pos + k == n_real - 1)
     sp6 = jnp.where(is_sepc, jnp.where(is_dollar, 5, 4), base_c).astype(U8)
     sp6 = jnp.where(sp_pos < N, sp6, 0)
-    # Suffix ranks by prefix doubling directly over sp6[0:L_cap]. The
-    # capacity tail beyond the true L is zero-filled; since 0 is the
-    # minimum char, comparisons against the tail resolve exactly like
-    # the -1 out-of-range sentinel (first nonzero real char wins, else
-    # the shorter suffix is smaller) — so the tail length is
-    # semantically irrelevant and no 2x extension is needed.
-    rank = _doubling_ranks(sp6)
+    # Suffix ranks over the true length L (end-of-string handled as a
+    # sentinel smaller than every char — identical ordering to the
+    # previous zero-tail semantics, since 0 is the minimum char: the
+    # first nonzero real char wins, else the shorter suffix is
+    # smaller). True-length semantics let the rank loop terminate in
+    # O(log max-tie) rounds instead of O(log L_cap).
+    L_dyn = sp_idx_of[-1] + is_sp[-1].astype(I32)
+    rank = _suffix_ranks(sp6, L_dyn)
 
     # blue entries; key3 = bp<<3 | bwt_char keeps equal-(block, rank)
     # entries in ascending-position order (the reference's queue-drain
@@ -366,44 +367,65 @@ def stage_finish(
     return bwt6, packed, sharp, dollar, n_sharp, counts6
 
 
-def _doubling_ranks(sp6):
-    """Prefix-doubling suffix ranks; a while_loop so the body compiles
-    once and iteration stops as soon as all ranks are distinct (a few
-    rounds on genome-like SP strings).
+def _suffix_ranks(sp6, L_dyn):
+    """Suffix ranks of sp6[0:L_dyn] by prefix TRIPLING (each round sorts
+    on (rank[i], rank[i+h], rank[i+2h]), covering prefix 3h) inside a
+    while_loop that stops as soon as all ranks are distinct.
 
-    Round 0 ranks pack 8 chars (3 bits each, values 0-5) into one
-    int32 — order-preserving over the 8-char prefix, so doubling
-    starts at step 8 and skips three sort rounds. The initial rank
-    need not be dense: the body only uses rank order/equality.
+    Ranks are order-encodings, not dense: round 0 packs 8 biased chars
+    (0 = past-end sentinel, 1..6 = chars, 3 bits each) into one int32,
+    so the loop starts at h=8; the returned ranks are whatever dense
+    numbering the last round produced — callers use them only as sort
+    keys. Capacity-pad rows (i >= L_dyn) get distinct negative ranks so
+    they can never stall the all-distinct early exit, and every
+    lookahead past L_dyn reads the -1 sentinel, so suffixes shorter
+    than h are fully resolved once the round covering h runs — rounds
+    scale with the longest repeated substring of the SP string, not
+    with the capacity.
+
+    Lookaheads are dynamic-start contiguous slices of a padded rank
+    buffer (cheap on TPU), never random gathers.
     """
     M = sp6.shape[0]
     idx = jnp.arange(M, dtype=I32)
     H0 = 8
+    real = idx < L_dyn
+    c = jnp.where(real, sp6.astype(I32) + 1, 0)
+    c_pad = jnp.concatenate([c, jnp.zeros(H0, I32)])
     rank0 = jnp.zeros(M, I32)
-    c_pad = jnp.concatenate([sp6.astype(I32), jnp.zeros(H0, I32)])
     for i in range(H0):                  # static slices, not gathers
         rank0 = (rank0 << 3) | c_pad[i : i + M]
+    rank0 = jnp.where(real, rank0, idx - M)   # pads: distinct, negative
+    neg = jnp.full(M, -1, I32)
+
+    def look(rank_ext, step):
+        sl = jax.lax.dynamic_slice(rank_ext, (step,), (M,))
+        return jnp.where(idx + step < L_dyn, sl, -1)
 
     def body(carry):
         rank, step, _done = carry
-        r2 = jnp.where(idx + step < M, rank[jnp.minimum(idx + step, M - 1)], -1)
-        r_s, r2_s, i_s = jax.lax.sort((rank, r2, idx), num_keys=2)
+        rank_ext = jnp.concatenate([rank, neg, neg])
+        r2 = look(rank_ext, step)
+        r3 = look(rank_ext, 2 * step)
+        r_s, r2_s, r3_s, i_s = jax.lax.sort((rank, r2, r3, idx), num_keys=3)
         new = jnp.ones(M, I32)
         new = new.at[1:].set(
-            ((r_s[1:] != r_s[:-1]) | (r2_s[1:] != r2_s[:-1])).astype(I32)
+            (
+                (r_s[1:] != r_s[:-1])
+                | (r2_s[1:] != r2_s[:-1])
+                | (r3_s[1:] != r3_s[:-1])
+            ).astype(I32)
         )
         csum = jnp.cumsum(new)
         rank = jnp.zeros(M, I32).at[i_s].set(csum - 1)
         all_distinct = csum[-1] == M
-        return rank, step * 2, all_distinct
+        return rank, step * 3, all_distinct
 
     def cond(carry):
         _rank, step, done = carry
-        return (~done) & (step < 2 * M)
+        return (~done) & (step < M)
 
     rank, _, _ = jax.lax.while_loop(
         cond, body, (rank0, jnp.int32(H0), jnp.bool_(False))
     )
-    # final index tie-break for exact distinctness (pad-region ties)
-    r_s, i_s = jax.lax.sort((rank, idx), num_keys=2)
-    return jnp.zeros(M, I32).at[i_s].set(idx)
+    return rank
