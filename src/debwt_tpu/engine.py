@@ -56,7 +56,9 @@ def _dist_from_sep(is_sep, n):
     return nxt - idx
 
 
-@functools.partial(jax.jit, static_argnames=("m", "N", "_force_wide"))
+@functools.partial(
+    jax.jit, static_argnames=("m", "N", "_force_wide", "_force_two_scan")
+)
 def stage_graph(
     x2w,              # uint32[(N+pad)/16] packed 2-bit codes (seps as T)
     sep_pos,          # int32[n_cap] separator positions (pad: >= N)
@@ -68,6 +70,7 @@ def stage_graph(
     m: int,
     N: int,
     _force_wide: bool = False,   # test hook: exercise the N>=2^24 path
+    _force_two_scan: bool = False,  # test hook: R>=2^27 fact broadcast
 ):
     k = m - 1
     x2p = ops.unpack_2bit_words(x2w, N + TAIL_PAD)
@@ -250,20 +253,32 @@ def stage_graph(
     # only meaningful when in_d == 1; clamp to its 2-bit field (the sum
     # reaches 6 for multi-pred segments and would bleed into idx bits)
     pred_single = jnp.where(in_d == 1, pred_sum, 0)
-    # one narrow scan broadcasts (seg start row, 4-bit facts) from the
+    # narrow scans broadcast (seg start row, 4-bit facts) from the
     # start row to the whole segment: monotone because idx rides the
-    # high bits (needs R < 2^27 — covered by the 2^29 packing assert
-    # below plus this one)
-    assert R < (1 << 27), R
+    # high bits. One scan carries idx<<4|facts when R < 2^27; otherwise
+    # two scans carry 2 fact bits each (idx<<2|bits), good to R < 2^29
+    # — the same bound as the packed scatter below.
+    assert R < (1 << 29), R
     idx = jnp.arange(R, dtype=I32)
     facts = (
         (pred_single << 2) | (mi_seg.astype(I32) << 1) | mo_seg.astype(I32)
     )
-    bcast = jax.lax.cummax(jnp.where(newseg, (idx << 4) | facts, -1))
-    seg_start = bcast >> 4
-    mo_row = ((bcast & 1) != 0) & is_node_row
-    mi_row = ((bcast & 2) != 0) & is_node_row
-    pred_single_row = ((bcast >> 2) & 3).astype(U8)
+    if R < (1 << 27) and not _force_two_scan:
+        bcast = jax.lax.cummax(jnp.where(newseg, (idx << 4) | facts, -1))
+        seg_start = bcast >> 4
+        f_row = bcast & 15
+    else:
+        b_lo = jax.lax.cummax(
+            jnp.where(newseg, (idx << 2) | (facts & 3), -1)
+        )
+        b_hi = jax.lax.cummax(
+            jnp.where(newseg, (idx << 2) | (facts >> 2), -1)
+        )
+        seg_start = b_lo >> 2
+        f_row = ((b_hi & 3) << 2) | (b_lo & 3)
+    mo_row = ((f_row & 1) != 0) & is_node_row
+    mi_row = ((f_row & 2) != 0) & is_node_row
+    pred_single_row = ((f_row >> 2) & 3).astype(U8)
     fill_row = jnp.where(
         is_spec1,
         spec_char_row,

@@ -105,9 +105,14 @@ def build_bwt(
     m = config.m
     N = coll.bwt_len
     n = coll.n_reads
-    if N >= 2**31 - K.TAIL_PAD and not config.use_x64:
+    # int32 fast path holds to R = N_cap + n_spec < 2^29 (the packed
+    # fact-broadcast/scatter bound in engine.stage_graph); larger texts
+    # need the x64 tier (multi-host sharding via parallel.dist or the
+    # 30 Gbp spill tier).
+    if _bucket(N) >= (1 << 29) - (1 << 20) and not config.use_x64:
         raise NotImplementedError(
-            "int32 pipeline: text must be < 2^31; enable use_x64 (3 Gbp tier)"
+            "int32 pipeline: text must be < ~512 Mbp; use the x64 tier "
+            "(PipelineConfig(use_x64=True)) / multi-host sharding"
         )
 
     # ---- host: special module (tiny, irregular) ----

@@ -116,7 +116,10 @@ def test_wide_path_matches_fast_path(coll):
     )
     fast = engine.stage_graph(*args, m, N_cap)
     wide = engine.stage_graph(*args, m, N_cap, _force_wide=True)
+    two = engine.stage_graph(*args, m, N_cap, _force_two_scan=True)
     for a, b in zip(fast, wide):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for a, b in zip(fast, two):
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
