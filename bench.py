@@ -137,12 +137,14 @@ def main():
     # warmup (compile)
     t0 = time.time()
     result = build_bwt(coll, config)
+    result.packed()
     print(f"[bench] warmup (incl. compile): {time.time()-t0:.2f}s",
           file=sys.stderr)
     times = []
     for _ in range(reps):
         t0 = time.time()
         result = build_bwt(coll, config)
+        result.packed()        # include the packed-BWT device fetch
         times.append(time.time() - t0)
     t_mine = min(times)
     mbps = n_bases / 1e6 / t_mine
