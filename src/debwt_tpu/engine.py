@@ -77,9 +77,6 @@ def stage_graph(
     # masks built on device from the tiny position lists (saves two
     # N-sized host->device transfers)
     is_sep = jnp.zeros(N, bool).at[sep_pos].set(True, mode="drop")
-    spec_branch_mask = jnp.zeros(N, bool).at[spec_branch_pos].set(
-        True, mode="drop"
-    )
     dist = _dist_from_sep(is_sep, N)
     pos = jnp.arange(N, dtype=I32)
     is_main = (dist >= k) & (pos < n_real)
@@ -285,30 +282,24 @@ def stage_graph(
         jnp.where(mi_row, jnp.uint8(0), pred_single_row),
     )
 
-    # ---- per-position outputs: ONE packed scatter ----
-    # (seg_start << 2 | mi << 1 | mo) needs R < 2^29 — guaranteed by
-    # the int32 pipeline bound (pipeline.py raises at 2^31 and the
-    # packing here at 2^29; both route large inputs to the x64 tier).
-    assert R < (1 << 29), R
-    packed = (
-        (seg_start << 2) | (mi_row.astype(I32) << 1) | mo_row.astype(I32)
+    # ---- no scatter back to position space ----
+    # Every SP/blue consumer works from ROW space: stage_finish
+    # compacts mo/mi rows (cumsum+searchsorted), reads positions and
+    # block starts from r_pos/seg_start at those rows, and recovers the
+    # per-position SP index with a searchsorted into the (tiny) sorted
+    # SP position list. TPU scatters cost ~2x gathers, and this drops
+    # the only full-length scatter in the pipeline.
+    L = jnp.sum(mo_row.astype(I32)) + jnp.sum(
+        (spec_branch_pos < n_real).astype(I32)
     )
-    packed_pos = jnp.zeros(N, I32).at[
-        jnp.where(is_node_row, r_pos, N)
-    ].set(packed, mode="drop")
-    mo_pos = (packed_pos & 1) != 0
-    mi_pos = (packed_pos & 2) != 0
-    base_pos = packed_pos >> 2
-    is_sp = mo_pos | spec_branch_mask
-    sp_idx_of = ops.exclusive_cumsum(is_sp.astype(I32))
-    L = jnp.sum(is_sp.astype(I32))
-    B = jnp.sum(mi_pos.astype(I32))
+    B = jnp.sum(mi_row.astype(I32))
 
     # partial BWT: case-2 runs + specials in place; case-3 slots zeroed
     bwt6_partial = jnp.where(row_valid, fill_row, 0)[:N]
     # x2p stays device-resident for stage_finish (no re-transfer)
+    r_pos_node = jnp.where(is_node_row, r_pos, N)
     return (
-        bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
+        bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos_node,
         bwt_char, L, B, x2p,
     )
 
@@ -317,22 +308,33 @@ def stage_graph(
     jax.jit, static_argnames=("m", "N", "L_cap", "B_cap", "n_sharp_cap")
 )
 def stage_finish(
-    x2p, dist, mi_pos, base_pos, is_sp, sp_idx_of, bwt_char,
-    bwt6_partial, n_real,
+    x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+    bwt6_partial, spec_branch_pos, n_real,
     m: int, N: int, L_cap: int, B_cap: int, n_sharp_cap: int = 1,
 ):
     k = m - 1
-    # Compactions: stream-compact the j-th set position of a mask as
-    # searchsorted(inclusive-cumsum, j+1) — one narrow scan plus
-    # O(cap · log N) small gathers, instead of nonzero's full-length
-    # scatter.
-    def _compact(cs_incl, cap):
-        q = jnp.arange(cap, dtype=I32) + 1
-        p = jnp.searchsorted(cs_incl, q, side="left").astype(I32)
-        return jnp.where(q <= cs_incl[-1], p, N)
+    R = mo_row.shape[0]
 
-    # SP string
-    sp_pos = _compact(sp_idx_of + is_sp.astype(I32), L_cap)
+    # Compactions: stream-compact the j-th set row of a mask as
+    # searchsorted(inclusive-cumsum, j+1) — one scan plus
+    # O(cap · log R) small gathers; no full-length scatter anywhere.
+    def _compact_rows(mask, cap):
+        cs = jnp.cumsum(mask.astype(I32))
+        q = jnp.arange(cap, dtype=I32) + 1
+        rows = jnp.searchsorted(cs, q, side="left").astype(I32)
+        return jnp.minimum(rows, mask.shape[0] - 1), q <= cs[-1]
+
+    # SP positions: multi-out node rows' positions merged with the
+    # special-branch position list, sorted ascending (text order —
+    # the SP string is the event sequence). The two sets are disjoint:
+    # special-branch positions are within k of a separator, so they
+    # are never main/node rows.
+    mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
+    mo_positions = jnp.where(mo_ok, r_pos[mo_rows], N)
+    br = jnp.where(spec_branch_pos < n_real, spec_branch_pos, N)
+    sp_pos = jax.lax.sort(
+        (jnp.concatenate([mo_positions, br]),), num_keys=1
+    )[0][:L_cap]
     at = jnp.minimum(sp_pos + k, x2p.shape[0] - 1)
     base_c = x2p[at].astype(U8)
     d_at = dist[jnp.minimum(sp_pos, N - 1)]
@@ -346,18 +348,24 @@ def stage_finish(
     # first nonzero real char wins, else the shorter suffix is
     # smaller). True-length semantics let the rank loop terminate in
     # O(log max-tie) rounds instead of O(log L_cap).
-    L_dyn = sp_idx_of[-1] + is_sp[-1].astype(I32)
+    L_dyn = jnp.sum((sp_pos < N).astype(I32))
     rank = _suffix_ranks(sp6, L_dyn)
 
-    # blue entries; key3 = bp<<3 | bwt_char keeps equal-(block, rank)
-    # entries in ascending-position order (the reference's queue-drain
-    # discipline, src/generateSP.c:662-680) while the char rides the
-    # key — 3 operands, 3 distinct keys, no payload.
-    bp = _compact(jnp.cumsum(mi_pos.astype(I32)), B_cap)
+    # blue entries straight from row space; key3 = bp<<3 | bwt_char
+    # keeps equal-(block, rank) entries in ascending-position order
+    # (the reference's queue-drain discipline,
+    # src/generateSP.c:662-680) while the char rides the key — 3
+    # operands, 3 distinct keys, no payload. The blue-entry order out
+    # of the compaction is sorted-row order, which the (base, rank,
+    # pos) sort re-establishes anyway.
+    mi_rows, mi_ok = _compact_rows(mi_row, B_cap)
+    bp = jnp.where(mi_ok, r_pos[mi_rows], N)
     bval = bp < N
     bpc = jnp.minimum(bp, N - 1)
-    b_base = jnp.where(bval, base_pos[bpc], N)
-    b_rank = rank[jnp.minimum(sp_idx_of[bpc], L_cap - 1)]
+    b_base = jnp.where(bval, seg_start[mi_rows], N)
+    # sp index of a position = #SP events strictly before it
+    sp_idx = jnp.searchsorted(sp_pos, bp, side="left").astype(I32)
+    b_rank = rank[jnp.minimum(sp_idx, L_cap - 1)]
     b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
     base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)
     char_s = (pc_s & 7).astype(U8)
@@ -371,9 +379,9 @@ def stage_finish(
     packed = ops.pack_2bit_words(jnp.where(bwt6 >= 4, jnp.uint8(3), bwt6))
     # sidecars + conservation counts on device (keeps d2h tiny);
     # counts via masked sums, not bincount (scatter-add serializes)
-    cs4 = jnp.cumsum((bwt6 == 4).astype(I32))
-    n_sharp = cs4[-1]
-    sharp = _compact(cs4, n_sharp_cap)
+    sharp_rows, sharp_ok = _compact_rows(bwt6 == 4, n_sharp_cap)
+    sharp = jnp.where(sharp_ok, sharp_rows, N)
+    n_sharp = jnp.sum((bwt6 == 4).astype(I32))
     dollar = jnp.argmax(bwt6 == 5).astype(I32)   # exactly one '$'
     in_range = jnp.arange(N, dtype=I32) < n_real
     counts6 = jnp.stack(

@@ -133,18 +133,21 @@ def build_bwt(
     d = jnp.asarray
     # 2-bit packed text transfer: 4x less host->device traffic
     x2w_d = d(ops.pack_2bit_words_host(x2p))
+    spec_branch_d = _padded(
+        sp.spec_branch_pos.astype(np.int32),
+        _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap,
+    )
     out = engine.stage_graph(
         x2w_d,
         _padded(coll.sep.astype(np.int32), _pow2(n), N_cap),
         _padded(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
         _padded(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
         _padded(sp.spec_bwt6, ns_cap, 0),
-        _padded(sp.spec_branch_pos.astype(np.int32), _pow2(max(1,
-            sp.spec_branch_pos.shape[0])), N_cap),
+        spec_branch_d,
         jnp.int32(N),
         m, N_cap,
     )
-    (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
+    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
      bwt_char, L, B, x2p_d) = out
     L, B = int(L), int(B)
     t0 = _t("stage_graph (+h2d, sync)", t0)
@@ -152,8 +155,9 @@ def build_bwt(
 
     bwt6_d, packed_d, sharp_d, dollar_d, n_sharp_d, counts_d = (
         engine.stage_finish(
-            x2p_d, dist, mi_pos, base_pos, is_sp, sp_idx_of, bwt_char,
-            bwt6_partial, jnp.int32(N), m, N_cap, L_cap, B_cap, _pow2(n),
+            x2p_d, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+            bwt6_partial, spec_branch_d, jnp.int32(N),
+            m, N_cap, L_cap, B_cap, _pow2(n),
         )
     )
     sharp = np.asarray(jax.device_get(sharp_d)).astype(np.int64)

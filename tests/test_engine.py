@@ -53,18 +53,33 @@ def coll():
     return SequenceCollection.from_reads(reads)
 
 
+def _pos_masks(out, N, coll, m):
+    """Reconstruct position-space mo/mi masks from the row-space
+    outputs (mo_row/mi_row flags at rows, positions in r_pos)."""
+    (_, _, mo_row, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
+    mo_row, mi_row, r_pos = map(np.asarray, (mo_row, mi_row, r_pos))
+    mo = np.zeros(N, bool)
+    mo[r_pos[mo_row & (r_pos < N)]] = True
+    mi = np.zeros(N, bool)
+    mi[r_pos[mi_row & (r_pos < N)]] = True
+    from debwt_tpu.special import build_special
+
+    sp = build_special(coll, m)
+    is_sp = mo.copy()
+    is_sp[sp.spec_branch_pos] = True
+    return mo, mi, is_sp
+
+
 def test_flags_and_sp_match_model(coll):
     m = 32
     _, tr = build_model(coll, m=m, trace=True)
     out, N = _run_graph(coll, m)
-    (bwt6_partial, dist, mi_pos, base_pos, is_sp, sp_idx_of,
-     bwt_char, L, B, _x2p) = out
-    is_sp_h = np.asarray(is_sp)[:N]
+    L, B = out[7], out[8]
+    _mo, mi_h, is_sp_h = _pos_masks(out, N, coll, m)
     sp_pos = np.nonzero(is_sp_h)[0]
     assert (sp_pos == tr.sp_positions).all()
     assert int(L) == tr.sp_positions.shape[0]
     # mi flags: blue positions are main positions of multi-in nodes
-    mi_h = np.asarray(mi_pos)[:N]
     # reconstruct expected blue mask from the model
     nxt = np.searchsorted(coll.sep, np.arange(N))
     d = coll.sep[nxt] - np.arange(N)
@@ -117,10 +132,23 @@ def test_wide_path_matches_fast_path(coll):
     fast = engine.stage_graph(*args, m, N_cap)
     wide = engine.stage_graph(*args, m, N_cap, _force_wide=True)
     two = engine.stage_graph(*args, m, N_cap, _force_two_scan=True)
-    for a, b in zip(fast, wide):
-        assert (np.asarray(a) == np.asarray(b)).all()
-    for a, b in zip(fast, two):
-        assert (np.asarray(a) == np.asarray(b)).all()
+
+    def canon(out):
+        # row order within segments differs between the paths; compare
+        # position-space semantics + the partial BWT + scalars
+        mo, mi, is_sp = _pos_masks(out, N_cap, coll, m)
+        (_, _, mo_row, mi_row, seg, r_pos, _bc, L, B, _x) = out
+        mi_row, seg, r_pos = map(np.asarray, (mi_row, seg, r_pos))
+        base = np.zeros(N_cap, np.int64)
+        mask = mi_row & (r_pos < N_cap)
+        base[r_pos[mask]] = seg[mask]
+        return (np.asarray(out[0]), mo, mi, is_sp, base,
+                int(L), int(B), np.asarray(out[1]))
+
+    ref = canon(fast)
+    for other in (wide, two):
+        for a, b in zip(ref, canon(other)):
+            assert (np.asarray(a) == np.asarray(b)).all()
 
 
 def test_partial_bwt_case2_and_specials(coll):
