@@ -318,23 +318,34 @@ def stage_finish(
     # Compactions: stream-compact the j-th set row of a mask as
     # searchsorted(inclusive-cumsum, j+1) — one scan plus
     # O(cap · log R) small gathers; no full-length scatter anywhere.
+    # When the output is a large fraction of R (pathological branch
+    # densities), the cap*log(R) gather rounds lose to a plain 1-2
+    # operand sort, so compaction switches strategy on the static
+    # cap/R ratio.
     def _compact_rows(mask, cap):
         cs = jnp.cumsum(mask.astype(I32))
         q = jnp.arange(cap, dtype=I32) + 1
         rows = jnp.searchsorted(cs, q, side="left").astype(I32)
         return jnp.minimum(rows, mask.shape[0] - 1), q <= cs[-1]
 
+    big_l = L_cap * 16 >= R
+    big_b = B_cap * 16 >= R
+
     # SP positions: multi-out node rows' positions merged with the
     # special-branch position list, sorted ascending (text order —
     # the SP string is the event sequence). The two sets are disjoint:
     # special-branch positions are within k of a separator, so they
     # are never main/node rows.
-    mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
-    mo_positions = jnp.where(mo_ok, r_pos[mo_rows], N)
     br = jnp.where(spec_branch_pos < n_real, spec_branch_pos, N)
-    sp_pos = jax.lax.sort(
-        (jnp.concatenate([mo_positions, br]),), num_keys=1
-    )[0][:L_cap]
+    if big_l:
+        allp = jnp.concatenate([jnp.where(mo_row, r_pos, N), br])
+        sp_pos = jax.lax.sort((allp,), num_keys=1)[0][:L_cap]
+    else:
+        mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
+        mo_positions = jnp.where(mo_ok, r_pos[mo_rows], N)
+        sp_pos = jax.lax.sort(
+            (jnp.concatenate([mo_positions, br]),), num_keys=1
+        )[0][:L_cap]
     at = jnp.minimum(sp_pos + k, x2p.shape[0] - 1)
     base_c = x2p[at].astype(U8)
     d_at = dist[jnp.minimum(sp_pos, N - 1)]
@@ -358,13 +369,37 @@ def stage_finish(
     # operands, 3 distinct keys, no payload. The blue-entry order out
     # of the compaction is sorted-row order, which the (base, rank,
     # pos) sort re-establishes anyway.
-    mi_rows, mi_ok = _compact_rows(mi_row, B_cap)
-    bp = jnp.where(mi_ok, r_pos[mi_rows], N)
-    bval = bp < N
+    if big_b:
+        bk = jnp.where(mi_row, r_pos, N)
+        bp, b_base = jax.lax.sort((bk, seg_start), num_keys=1)
+        bp, b_base = bp[:B_cap], b_base[:B_cap]
+        bval = bp < N
+        b_base = jnp.where(bval, b_base, N)
+    else:
+        mi_rows, mi_ok = _compact_rows(mi_row, B_cap)
+        bp = jnp.where(mi_ok, r_pos[mi_rows], N)
+        bval = bp < N
+        b_base = jnp.where(bval, seg_start[mi_rows], N)
     bpc = jnp.minimum(bp, N - 1)
-    b_base = jnp.where(bval, seg_start[mi_rows], N)
     # sp index of a position = #SP events strictly before it
-    sp_idx = jnp.searchsorted(sp_pos, bp, side="left").astype(I32)
+    if big_b or big_l:
+        # merged-sort counting instead of B_cap*log(L_cap) gather
+        # rounds: events keyed 2p+1 sort AFTER a query keyed 2p, so an
+        # event AT the query position is (correctly) not counted
+        keys2 = jnp.concatenate(
+            [jnp.minimum(sp_pos, N) * 2 + 1, bp * 2]
+        )
+        pay = jnp.concatenate(
+            [jnp.full(L_cap, -1, I32), jnp.arange(B_cap, dtype=I32)]
+        )
+        k_s, p_s = jax.lax.sort((keys2, pay), num_keys=1)
+        is_ev = (p_s < 0).astype(I32)
+        before = jnp.cumsum(is_ev) - is_ev
+        sp_idx = jnp.zeros(B_cap, I32).at[
+            jnp.where(p_s >= 0, p_s, B_cap)
+        ].set(before, mode="drop")
+    else:
+        sp_idx = jnp.searchsorted(sp_pos, bp, side="left").astype(I32)
     b_rank = rank[jnp.minimum(sp_idx, L_cap - 1)]
     b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
     base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)

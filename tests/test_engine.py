@@ -151,6 +151,36 @@ def test_wide_path_matches_fast_path(coll):
             assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_stage_finish_big_variants(coll):
+    """Inflating L_cap/B_cap past R/16 flips stage_finish to the
+    sort-based compaction + merged-sort rank lookup; outputs must be
+    identical to the searchsorted path."""
+    m = 32
+    out, N = _run_graph(coll, m)
+    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
+     bwt_char, L, B, x2p) = out
+    sp = build_special(coll, m)
+    N_cap = _bucket(N)
+    R = int(mo_row.shape[0])
+    spec_branch = np.full(_pow2(max(1, sp.spec_branch_pos.shape[0])),
+                          N_cap, np.int32)
+    spec_branch[: sp.spec_branch_pos.shape[0]] = sp.spec_branch_pos
+    spec_branch = jnp.asarray(spec_branch)
+    small = engine.stage_finish(
+        x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+        bwt6_partial, spec_branch, jnp.int32(N),
+        m, N_cap, _pow2(int(L)), _pow2(int(B)), _pow2(coll.n_reads),
+    )
+    big_cap = _pow2(max(int(L), int(B), (R + 15) // 16))
+    big = engine.stage_finish(
+        x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+        bwt6_partial, spec_branch, jnp.int32(N),
+        m, N_cap, big_cap, big_cap, _pow2(coll.n_reads),
+    )
+    for a, b in zip(small, big):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_partial_bwt_case2_and_specials(coll):
     m = 32
     res, tr = build_model(coll, m=m, trace=True)
