@@ -134,6 +134,15 @@ def dist_build_bwt(
     n = mesh.devices.size
     N = coll.bwt_len
     n_reads = coll.n_reads
+    # Global positions/coordinates are int32 device-side: the
+    # distributed tier currently covers collections < 2^31 chars
+    # (~2 Gbp). The 3 Gbp+ tier needs uint32 globals (4.3 Gbp) and the
+    # 30 Gbp tier (shard-id, local) index pairs — see docs/ROADMAP.md.
+    if N >= 2**31 - (m + K.TAIL_PAD):
+        raise NotImplementedError(
+            "distributed int32 tier: collection must be < 2^31 chars; "
+            "see docs/ROADMAP.md (u32 globals / split indices)"
+        )
     sp = build_special(coll, m)
 
     Ns = -(-N // n)
