@@ -47,6 +47,7 @@ from debwt_tpu.bluesort import sp_suffix_ranks
 I32 = jnp.int32
 U32 = jnp.uint32
 KEY_MAX = jnp.uint32(0xFFFFFFFF)
+INV32 = jnp.uint32(0xFFFFFFFF)   # invalid global position/coordinate
 
 shard_map = jax.shard_map
 
@@ -113,11 +114,16 @@ def _a2a(x):
 
 
 def _exclusive_scan_over_devices(total):
-    """Per-device exclusive prefix sum of a scalar across the axis."""
-    ag = jax.lax.all_gather(total, "d")  # (n,)
+    """Per-device exclusive prefix sum of a scalar across the axis.
+    Accumulates in uint32: per-shard totals are int32 but the global
+    prefix can reach 2^32 (the 3-4 Gbp tier)."""
+    ag = jax.lax.all_gather(total, "d").astype(jnp.uint32)  # (n,)
     r = jax.lax.axis_index("d")
     mask = jnp.arange(ag.shape[0]) < r
-    return jnp.sum(jnp.where(mask, ag, 0)), jnp.sum(ag)
+    return (
+        jnp.sum(jnp.where(mask, ag, 0), dtype=jnp.uint32),
+        jnp.sum(ag, dtype=jnp.uint32),
+    )
 
 
 def dist_build_bwt(
@@ -134,14 +140,14 @@ def dist_build_bwt(
     n = mesh.devices.size
     N = coll.bwt_len
     n_reads = coll.n_reads
-    # Global positions/coordinates are int32 device-side: the
-    # distributed tier currently covers collections < 2^31 chars
-    # (~2 Gbp). The 3 Gbp+ tier needs uint32 globals (4.3 Gbp) and the
-    # 30 Gbp tier (shard-id, local) index pairs — see docs/ROADMAP.md.
-    if N >= 2**31 - (m + K.TAIL_PAD):
+    # Global positions/coordinates are uint32 device-side: the
+    # distributed tier covers collections < 2^32 chars (~4.2 Gbp,
+    # including GRCh38 at 3.1 Gbp). The 30 Gbp tier needs
+    # (shard-id, local) index pairs — see docs/ROADMAP.md.
+    if N >= 2**32 - (m + K.TAIL_PAD):
         raise NotImplementedError(
-            "distributed int32 tier: collection must be < 2^31 chars; "
-            "see docs/ROADMAP.md (u32 globals / split indices)"
+            "distributed u32 tier: collection must be < 2^32 chars; "
+            "see docs/ROADMAP.md (split indices)"
         )
     sp = build_special(coll, m)
 
@@ -220,12 +226,15 @@ def dist_build_bwt(
         r = jax.lax.axis_index("d")
         e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
         Ns_l = dist.shape[0]
-        gpos = r * Ns_l + jnp.arange(Ns_l, dtype=I32)
+        # u32 global positions (the 3-4 Gbp tier exceeds int32)
+        gpos = r.astype(U32) * jnp.uint32(Ns_l) + jnp.arange(
+            Ns_l, dtype=U32
+        )
         # prefix-routed exchange (carry position)
         d1 = _dest(e_hi, e_lo, 2 * m, n)
         ph, pl, ppos = _pack_by_dest(
             d1, valid, cap_e, n,
-            (e_hi, KEY_MAX), (e_lo, KEY_MAX), (gpos, jnp.int32(-1)),
+            (e_hi, KEY_MAX), (e_lo, KEY_MAX), (gpos, INV32),
         )
         ph, pl, ppos = _a2a(ph), _a2a(pl), _a2a(ppos)
         # keep slot structure for the response; also build sorted copy
@@ -335,15 +344,15 @@ def dist_build_bwt(
         )
         local_total = jnp.sum(size_s)
         base, _grand = _exclusive_scan_over_devices(local_total)
-        start = ops.exclusive_cumsum(size_s) + base
+        start = ops.exclusive_cumsum(size_s).astype(U32) + base
         node_sel = src_s < cap_n
-        node_start = jnp.zeros(cap_n, I32).at[
+        node_start = jnp.zeros(cap_n, U32).at[
             jnp.where(node_sel, src_s, cap_n)
-        ].set(start.astype(I32), mode="drop")
-        spec_bwtpos = jnp.full(n_spec, -1, I32).at[
+        ].set(start, mode="drop")
+        spec_bwtpos = jnp.full(n_spec, INV32, U32).at[
             jnp.where(node_sel, n_spec, src_s - cap_n)
-        ].set(start.astype(I32), mode="drop")
-        spec_bwtpos = jnp.where(sown, spec_bwtpos, -1)
+        ].set(start, mode="drop")
+        spec_bwtpos = jnp.where(sown, spec_bwtpos, INV32)
 
         # ---- flag responses through the original slot structure ----
         # slot entries are EDGE keys; node key = edge >> 2
@@ -360,8 +369,8 @@ def dist_build_bwt(
         mo_resp = (multi_out[nid_slot] & ~pad_s).reshape(n, cap_e)
         # node reference: owner in high bits, local index in low bits
         ref_resp = jnp.where(
-            pad_s, -1, nid_slot * n + r
-        ).astype(I32).reshape(n, cap_e)
+            pad_s, INV32, (nid_slot.astype(U32) * n + r.astype(U32))
+        ).reshape(n, cap_e)
         mi_b = _a2a(mi_resp)
         mo_b = _a2a(mo_resp)
         ref_b = _a2a(ref_resp)
@@ -387,8 +396,9 @@ def dist_build_bwt(
 
     # ---------------- S2: text-side classification ----------------
     spec_bwtpos_h = np.asarray(jax.device_get(spec_bwtpos))
-    spec_bwtpos_comb = spec_bwtpos_h.max(axis=0)  # owners hold >=0, rest -1
-    assert (spec_bwtpos_comb >= 0).all()
+    # owners hold the coordinate; non-owners hold INV32 (u32 max)
+    spec_bwtpos_comb = spec_bwtpos_h.min(axis=0)
+    assert (spec_bwtpos_comb != np.uint32(0xFFFFFFFF)).all()
 
     tail_mi, tail_mo, tail_ref = tflags
     # map tail positions -> per-shard arrays
@@ -396,7 +406,7 @@ def dist_build_bwt(
     tp = coll.sep - k
     tail_flag_mi = np.zeros(n * Ns, dtype=bool)
     tail_flag_mi[tp] = tail_mi
-    tail_ref_full = np.full(n * Ns, -1, dtype=np.int32)
+    tail_ref_full = np.full(n * Ns, 0xFFFFFFFF, dtype=np.uint32)
     tail_ref_full[tp] = tail_ref
 
     @functools.partial(jax.jit, static_argnames=())
@@ -414,8 +424,10 @@ def dist_build_bwt(
         t_mi, t_ref = t_mi[0], t_ref[0]
         r = jax.lax.axis_index("d")
         Ns_l = dist.shape[0]
-        local = (pos_b.reshape(-1) - r * Ns_l).astype(I32)
-        okp = pos_b.reshape(-1) >= 0
+        okp = pos_b.reshape(-1) != INV32
+        local = (
+            pos_b.reshape(-1) - r.astype(U32) * jnp.uint32(Ns_l)
+        ).astype(I32)
         tgt = jnp.where(okp, local, Ns_l)
         mi_pos = jnp.zeros(Ns_l, bool).at[tgt].set(
             mi_b.reshape(-1), mode="drop"
@@ -423,7 +435,7 @@ def dist_build_bwt(
         mo_pos = jnp.zeros(Ns_l, bool).at[tgt].set(
             mo_b.reshape(-1), mode="drop"
         )
-        ref_pos = jnp.full(Ns_l, -1, I32).at[tgt].set(
+        ref_pos = jnp.full(Ns_l, INV32, U32).at[tgt].set(
             ref_b.reshape(-1), mode="drop"
         )
         # merge tail-position flags (tails are multi-out by definition;
@@ -475,9 +487,9 @@ def dist_build_bwt(
         at = jnp.minimum(spi + k, x2.shape[0] - 1)
         base_c = x2[at].astype(jnp.uint8)
         d_at = dist[jnp.minimum(spi, Ns_l - 1)]
-        gpos = r * Ns_l + spi
+        gpos = r.astype(U32) * jnp.uint32(Ns_l) + spi.astype(U32)
         is_sepc = d_at == k
-        is_dollar = is_sepc & (gpos == dollar_sp_pos)
+        is_dollar = is_sepc & (gpos == jnp.uint32(dollar_sp_pos))
         sp6 = jnp.where(
             is_sepc, jnp.where(is_dollar, 5, 4), base_c
         ).astype(jnp.uint8)
@@ -489,22 +501,22 @@ def dist_build_bwt(
         # spidx: local searchsorted + base (next shard's first event if
         # past the local tail)
         sidx = jnp.searchsorted(spi[: cap_sp], bli, side="left").astype(I32)
-        sidx = jnp.minimum(sidx, l_sp[0]) + sp_base
+        sidx = jnp.minimum(sidx, l_sp[0]).astype(U32) + sp_base
         ref = ref_pos[jnp.minimum(bli, Ns_l - 1)]
         prev = jnp.maximum(bli - 1, 0)
         pchar = jnp.where(bli == 0, pc, x2[prev]).astype(jnp.uint8)
         prev_sep = jnp.where(bli == 0, ps, dist[prev] == 0)
-        gbl = r * Ns_l + bli
+        gbl = r.astype(U32) * jnp.uint32(Ns_l) + bli.astype(U32)
         char6 = jnp.where(
-            gbl == 0,
+            gbl == jnp.uint32(0),
             jnp.uint8(5),
             jnp.where(prev_sep, jnp.uint8(4), pchar),
         )
         # route to node owner = ref % n
-        owner = jnp.where(bval, ref % n, n)
+        owner = jnp.where(bval, (ref % n).astype(I32), n)
         b_ref, b_sidx, b_char = _pack_by_dest(
             owner, bval, cap_blue, n,
-            (ref, jnp.int32(-1)), (sidx, jnp.int32(0)),
+            (ref, INV32), (sidx, jnp.uint32(0)),
             (char6, jnp.uint8(0)),
         )
         b_ref = _a2a(b_ref)
@@ -532,7 +544,7 @@ def dist_build_bwt(
     seg_sizes_h = None
     # per-device segment size = sum of its unit sizes
     cnt_h = np.asarray(jax.device_get(cnt))
-    spec_owned = (spec_bwtpos_h >= 0)
+    spec_owned = spec_bwtpos_h != np.uint32(0xFFFFFFFF)
     seg_sizes = cnt_h.sum(axis=1) + spec_owned.sum(axis=1)
     cap_seg = _pow2(max(1, int(seg_sizes.max())))
 
@@ -556,11 +568,13 @@ def dist_build_bwt(
         b_ref, b_sidx, b_char = (
             b_ref[0].reshape(-1), b_sidx[0].reshape(-1), b_char[0].reshape(-1)
         )
-        local_total = jnp.sum(cnt) + jnp.sum(spec_bwtpos >= 0)
+        local_total = jnp.sum(cnt) + jnp.sum(
+            (spec_bwtpos != INV32).astype(I32)
+        )
         base, _ = _exclusive_scan_over_devices(local_total)
         # blue ordering
-        val = b_ref >= 0
-        nid = jnp.where(val, b_ref // n, cap_n)
+        val = b_ref != INV32
+        nid = jnp.where(val, (b_ref // n).astype(I32), cap_n)
         rank = sp_rank_r[jnp.minimum(b_sidx, sp_rank_r.shape[0] - 1)]
         nid_s, _, char_s = jax.lax.sort(
             (nid, rank, b_char.astype(I32)), num_keys=2
@@ -570,14 +584,18 @@ def dist_build_bwt(
         first = jnp.ones(Bl, bool).at[1:].set(nid_s[1:] != nid_s[:-1])
         seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
         within = idx - seg_start
-        ns_ext = jnp.concatenate([node_start, jnp.full(1, -(10**9), I32)])
-        bpos = ns_ext[jnp.minimum(nid_s, cap_n)] + within - base
+        ns_ext = jnp.concatenate([node_start, jnp.full(1, INV32, U32)])
+        bpos = (
+            ns_ext[jnp.minimum(nid_s, cap_n)] - base
+        ).astype(I32) + within
         # assemble
         seg = jnp.zeros(cap_seg, jnp.uint8)
         case2_size = jnp.where(multi_in, 0, cnt)
         fill_char = jnp.where(multi_in, jnp.uint8(0), pred)
         run_char = ops.repeat_fill(fill_char, case2_size, cap_seg)
-        run_start = ops.repeat_fill(node_start - base, case2_size, cap_seg)
+        run_start = ops.repeat_fill(
+            (node_start - base).astype(I32), case2_size, cap_seg
+        )
         csum = jnp.cumsum(case2_size)
         idx2 = jnp.arange(cap_seg, dtype=I32)
         segid = jnp.searchsorted(csum, idx2, side="right").astype(I32)
@@ -589,7 +607,11 @@ def dist_build_bwt(
         seg = seg.at[jnp.where(c2ok, c2idx, cap_seg)].set(
             run_char, mode="drop"
         )
-        sbp = jnp.where(spec_bwtpos >= 0, spec_bwtpos - base, cap_seg)
+        sbp = jnp.where(
+            spec_bwtpos != INV32,
+            (spec_bwtpos - base).astype(I32),
+            cap_seg,
+        )
         seg = seg.at[sbp].set(spec_char, mode="drop")
         seg = seg.at[jnp.where(nid_s < cap_n, bpos, cap_seg)].set(
             char_s.astype(jnp.uint8), mode="drop"
@@ -636,7 +658,9 @@ def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
         hit = (nh[idx_c] == qh) & (nl[idx_c] == ql)
         mi_q = jnp.where(hit, mi[idx_c], False)
         mo_q = jnp.where(hit, mo[idx_c], False)
-        ref_q = jnp.where(hit, idx_c * n + r, -1)
+        ref_q = jnp.where(
+            hit, idx_c.astype(U32) * n + r.astype(U32), INV32
+        )
         return mi_q[None], mo_q[None], ref_q[None]
 
     mi_q, mo_q, ref_q = gather(
@@ -645,5 +669,5 @@ def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
     )
     mi_h = np.asarray(jax.device_get(mi_q)).any(axis=0)
     mo_h = np.asarray(jax.device_get(mo_q)).any(axis=0)
-    ref_h = np.asarray(jax.device_get(ref_q)).max(axis=0)
+    ref_h = np.asarray(jax.device_get(ref_q)).min(axis=0)  # miss = INV32
     return mi_h, mo_h, ref_h
