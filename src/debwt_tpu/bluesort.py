@@ -27,34 +27,20 @@ I32 = jnp.int32
 
 
 @functools.partial(jax.jit, static_argnames=())
-def sp_suffix_ranks(sp6_ext: jnp.ndarray):
-    """Ranks of all suffixes of sp6_ext (uint8[M], already padded) by
-    prefix doubling. Returns int32[M]; equal suffixes (possible only in
-    the pad region) receive arbitrary distinct ranks via index
-    tie-break, which no within-block comparison depends on."""
+def sp_suffix_ranks(sp6_ext: jnp.ndarray, L_dyn=None):
+    """Ranks of all suffixes of sp6_ext (uint8[M], zero-padded past the
+    true length) as ORDER ENCODINGS (not dense): callers use them only
+    as sort keys. Delegates to the engine's prefix-tripling rank loop
+    (true-length semantics, all-distinct early exit); zero-tail and
+    end-sentinel orderings coincide because 0 is the minimum char
+    (first nonzero real char wins, else the shorter suffix is
+    smaller)."""
+    from debwt_tpu.engine import _suffix_ranks
+
     M = sp6_ext.shape[0]
-    rank = sp6_ext.astype(I32)
-    n_rounds = max(1, (M - 1).bit_length())
-    idx = jnp.arange(M, dtype=I32)
-
-    def round_fn(r, step):
-        r2 = jnp.where(idx + step < M, r[jnp.minimum(idx + step, M - 1)], -1)
-        r_s, r2_s, i_s = jax.lax.sort((r, r2, idx), num_keys=2, is_stable=True)
-        new = jnp.ones(M, dtype=I32)
-        new = new.at[1:].set(
-            ((r_s[1:] != r_s[:-1]) | (r2_s[1:] != r2_s[:-1])).astype(I32)
-        )
-        ranks_sorted = jnp.cumsum(new) - 1
-        return jnp.zeros(M, I32).at[i_s].set(ranks_sorted)
-
-    step = 1
-    for _ in range(n_rounds):
-        rank = round_fn(rank, step)
-        step <<= 1
-    # final tie-break by index for exact distinctness
-    r_s, i_s = jax.lax.sort((rank, idx), num_keys=2)
-    out = jnp.zeros(M, I32).at[i_s].set(jnp.arange(M, dtype=I32))
-    return out
+    if L_dyn is None:
+        L_dyn = jnp.int32(M)
+    return _suffix_ranks(sp6_ext, L_dyn)
 
 
 @functools.partial(jax.jit, static_argnames=())

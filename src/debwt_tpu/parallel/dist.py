@@ -536,9 +536,9 @@ def dist_build_bwt(
     )
     assert sp6_full.shape[0] == L_total
     Lc = _pow2(max(1, L_total))
-    sp6_ext = np.zeros(2 * Lc, dtype=np.uint8)
+    sp6_ext = np.zeros(Lc, dtype=np.uint8)
     sp6_ext[:L_total] = sp6_full
-    sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext))[: Lc]
+    sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L_total))
 
     # ---------------- S3: order + assemble segments ----------------
     seg_sizes_h = None
