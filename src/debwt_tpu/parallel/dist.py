@@ -51,6 +51,9 @@ INV32 = jnp.uint32(0xFFFFFFFF)   # invalid global position/coordinate
 
 shard_map = jax.shard_map
 
+# debug capture: set to a dict to stash per-stage intermediates
+DEBUG = None
+
 
 def _top16(hi, lo, nbits: int):
     """Top 16 bits of an nbits-wide right-aligned key pair."""
@@ -64,6 +67,32 @@ def _top16(hi, lo, nbits: int):
 
 def _dest(hi, lo, nbits: int, n: int):
     return ((_top16(hi, lo, nbits).astype(I32)) * n) >> 16
+
+
+def _dest_split(hi, lo, nbits: int, splitters16):
+    """Key owner via sampled splitters (equal-depth partition of the
+    top-16-bit key distribution) instead of a uniform split — the
+    distributed analogue of balancing mySort's bucket segments by
+    cumulative counts (src/mySort.c:104-110). Node keys (2k bits) and
+    edge keys (2m bits) share their top 16 bits (the first 8 chars),
+    so ownership is consistent across both key spaces."""
+    v = _top16(hi, lo, nbits)
+    return jnp.searchsorted(splitters16, v, side="right").astype(I32)
+
+
+def _sample_splitters16(x2, n: int, seed: int = 17, samples: int = 1 << 16):
+    """n-1 top-16-bit splitters from a host-side sample of 8-char
+    window prefixes. Heavy duplicate mass can still land one 16-bit
+    bucket on one chip (65536-way granularity); splitting inside a
+    bucket needs deeper splitter keys (ROADMAP)."""
+    P = max(1, x2.shape[0] - 8)
+    idx = np.random.default_rng(seed).integers(0, P, size=samples)
+    v = np.zeros(samples, dtype=np.uint16)
+    for i in range(8):
+        v = (v << 2) | x2[idx + i].astype(np.uint16)
+    v.sort()
+    qs = (np.arange(1, n) * samples) // n
+    return v[qs]
 
 
 def _edge_keys_local(x2, dist, m: int):
@@ -175,9 +204,18 @@ def dist_build_bwt(
 
     # replicated small arrays
     tail_hi, tail_lo = _split64(sp.tail_keys)
+    # tail keys in READ order (sp.tail_keys is SORTED, matching the
+    # reference's tailSharp stream — the per-read flag gather below
+    # must align with tp = sep - k instead)
+    from debwt_tpu.special import key_of_window
+
+    tailq = key_of_window(coll.x2, coll.sep - k, k)
+    tailq_hi, tailq_lo = _split64(tailq)
     head_hi, head_lo = _split64(sp.head_keys)
     s_hi, s_lo = _split64(sp.spec_tfill)
     n_spec = sp.spec_tfill.shape[0]
+
+    splitters16 = jnp.asarray(_sample_splitters16(coll.x2, n))
 
     sharding = NamedSharding(mesh, P("d"))
     rep = NamedSharding(mesh, P())
@@ -200,9 +238,9 @@ def dist_build_bwt(
     def s0(x2, dist):
         x2, dist = x2[0], dist[0]
         e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
-        d1 = _dest(e_hi, e_lo, 2 * m, n)
+        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16)
         sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
-        d2 = _dest(sk_hi, sk_lo, 2 * k, n)
+        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16)
         h1 = jnp.bincount(jnp.where(valid, d1, n), length=n + 1)[:n]
         h2 = jnp.bincount(jnp.where(valid, d2, n), length=n + 1)[:n]
         return h1[None], h2[None]
@@ -231,7 +269,7 @@ def dist_build_bwt(
             Ns_l, dtype=U32
         )
         # prefix-routed exchange (carry position)
-        d1 = _dest(e_hi, e_lo, 2 * m, n)
+        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16)
         ph, pl, ppos = _pack_by_dest(
             d1, valid, cap_e, n,
             (e_hi, KEY_MAX), (e_lo, KEY_MAX), (gpos, INV32),
@@ -243,7 +281,7 @@ def dist_build_bwt(
         # suffix-routed exchange (carry first char)
         sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
         fc = _first_char(e_hi, e_lo, k)
-        d2 = _dest(sk_hi, sk_lo, 2 * k, n)
+        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16)
         qh, ql, qc = _pack_by_dest(
             d2, valid, cap_e, n,
             (sk_hi, KEY_MAX), (sk_lo, KEY_MAX), (fc, jnp.int32(4)),
@@ -286,8 +324,8 @@ def dist_build_bwt(
         sk2_lo = jnp.full(E_l, KEY_MAX).at[sseg].set(sl2)
 
         # owned tails/heads
-        town = _dest(th, tl, 2 * k, n) == r
-        hown = _dest(hh, hl, 2 * k, n) == r
+        town = _dest_split(th, tl, 2 * k, splitters16) == r
+        hown = _dest_split(hh, hl, 2 * k, splitters16) == r
         th_o = jnp.where(town, th, KEY_MAX)
         tl_o = jnp.where(town, tl, KEY_MAX)
         th_o, tl_o = jax.lax.sort((th_o, tl_o), num_keys=2)
@@ -327,7 +365,7 @@ def dist_build_bwt(
         multi_in = node_valid & ((in_d >= 2) | head_member)
 
         # ---- units + global coordinates ----
-        sown = _dest(sh_, sl_, 2 * k, n) == r
+        sown = _dest_split(sh_, sl_, 2 * k, splitters16) == r
         su_hi = jnp.where(sown, sh_, KEY_MAX)
         su_lo = jnp.where(sown, sl_, KEY_MAX)
         u2_hi = jnp.concatenate([node_hi, su_hi])
@@ -391,7 +429,7 @@ def dist_build_bwt(
     # tail-position flags: flags of the n_reads tail nodes, combined
     # across owners on host (tiny)
     tflags = _gather_key_flags(
-        mesh, node_hi, node_lo, multi_in, multi_out, tail_hi, tail_lo, n
+        mesh, node_hi, node_lo, multi_in, multi_out, tailq_hi, tailq_lo, n
     )
 
     # ---------------- S2: text-side classification ----------------
@@ -618,6 +656,22 @@ def dist_build_bwt(
         )
         return seg[None], local_total[None]
 
+    if DEBUG is not None:
+        DEBUG.update(
+            b_ref=np.asarray(jax.device_get(b_ref_d)),
+            b_sidx=np.asarray(jax.device_get(b_sidx_d)),
+            b_char=np.asarray(jax.device_get(b_char_d)),
+            sp6_full=sp6_full,
+            sp_rank=np.asarray(jax.device_get(sp_rank)),
+            node_hi=np.asarray(jax.device_get(node_hi)),
+            node_lo=np.asarray(jax.device_get(node_lo)),
+            cnt=cnt_h,
+            node_start=np.asarray(jax.device_get(node_start)),
+            multi_in=np.asarray(jax.device_get(multi_in)),
+            is_blue=np.asarray(jax.device_get(is_blue_d)),
+            is_sp=np.asarray(jax.device_get(is_sp_d)),
+            ref_pos=np.asarray(jax.device_get(ref_pos_d)),
+        )
     seg_d, seg_total_d = s3(
         node_start, cnt, multi_in, pred, spec_bwtpos,
         b_ref_d, b_sidx_d, b_char_d,

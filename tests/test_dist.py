@@ -35,6 +35,21 @@ def test_repeat_heavy_8dev():
     _assert_equal(SequenceCollection.from_reads(reads), make_mesh(8))
 
 
+def test_skewed_keys_8dev():
+    """Heavily skewed key distribution (poly-A runs + one dominant
+    fragment): exercises the sampled splitter partitioning."""
+    rng = np.random.default_rng(9)
+    frag = "".join(rng.choice(list("ACGT"), size=40))
+    reads = [
+        "A" * 120 + frag + "A" * 60,
+        frag + "A" * 80 + frag,
+        "A" * 200,
+        frag * 4,
+        "".join(rng.choice(list("ACGT"), size=150)),
+    ]
+    _assert_equal(SequenceCollection.from_reads(reads), make_mesh(8))
+
+
 @pytest.mark.parametrize("m", [12, 24, 32])
 def test_k_sweep_4dev(m):
     rng = np.random.default_rng(m)
