@@ -339,6 +339,10 @@ def stage_finish(
     br = jnp.where(spec_branch_pos < n_real, spec_branch_pos, N)
     if big_l:
         allp = jnp.concatenate([jnp.where(mo_row, r_pos, N), br])
+        if allp.shape[0] < L_cap:    # caps can exceed R on tiny inputs
+            allp = jnp.concatenate(
+                [allp, jnp.full(L_cap - allp.shape[0], N, I32)]
+            )
         sp_pos = jax.lax.sort((allp,), num_keys=1)[0][:L_cap]
     else:
         mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
@@ -371,7 +375,12 @@ def stage_finish(
     # pos) sort re-establishes anyway.
     if big_b:
         bk = jnp.where(mi_row, r_pos, N)
-        bp, b_base = jax.lax.sort((bk, seg_start), num_keys=1)
+        sg = seg_start
+        if bk.shape[0] < B_cap:      # caps can exceed R on tiny inputs
+            pad_n = B_cap - bk.shape[0]
+            bk = jnp.concatenate([bk, jnp.full(pad_n, N, I32)])
+            sg = jnp.concatenate([sg, jnp.full(pad_n, N, I32)])
+        bp, b_base = jax.lax.sort((bk, sg), num_keys=1)
         bp, b_base = bp[:B_cap], b_base[:B_cap]
         bval = bp < N
         b_base = jnp.where(bval, b_base, N)

@@ -53,6 +53,23 @@ def test_repeat_heavy(seed):
     _assert_equal(SequenceCollection.from_reads(reads))
 
 
+@pytest.mark.parametrize("m", [12, 20])
+def test_homopolymer_small_m(m):
+    """Small m on homopolymer-heavy reads drives L_cap/B_cap past R
+    (every position is a branch event) — exercises the cap-padding in
+    stage_finish's sort-based compaction."""
+    rng = np.random.default_rng(m)
+    reads = [
+        "A" * 100,
+        "A" * 50 + "C" + "A" * 33,
+        "T" * 60 + "A" + "T" * 40,
+        "".join(rng.choice(list("ACGT"), size=50)),
+    ]
+    _assert_equal(
+        SequenceCollection.from_reads(reads), PipelineConfig(m=m, check=True)
+    )
+
+
 def test_low_complexity():
     reads = [
         "A" * 100 + "C" + "A" * 50,
