@@ -26,11 +26,10 @@ class PipelineConfig:
     """
 
     m: int = K.DEFAULT_M
-    # Promote index arithmetic to int64 (required once any of text length,
-    # SP-code length, or blue count exceeds int32 range; the 3 Gbp+ tiers).
+    # Reserved for the 30 Gbp split-index tier (docs/ROADMAP.md); the
+    # single-chip engine covers < 2^29 rows in int32 and the
+    # distributed tier < 2^32 chars in uint32 without it.
     use_x64: bool = False
-    # Run device stages eagerly (no jit) — for debugging.
-    eager: bool = False
     # Validate internal invariants (costs extra device work).
     check: bool = False
 
