@@ -410,9 +410,16 @@ def stage_finish(
     else:
         sp_idx = jnp.searchsorted(sp_pos, bp, side="left").astype(I32)
     b_rank = rank[jnp.minimum(sp_idx, L_cap - 1)]
-    b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
-    base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)
-    char_s = (pc_s & 7).astype(U8)
+    if N < (1 << 28):
+        # pos<<3 | char fits i32; 3 operands, 3 distinct keys
+        b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
+        base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)
+        char_s = (pc_s & 7).astype(U8)
+    else:
+        # N in [2^28, 2^29): position no longer fits beside the char
+        base_s, _, _, char_s = jax.lax.sort(
+            (b_base, b_rank, bp, bwt_char[bpc]), num_keys=3
+        )
     idx = jnp.arange(B_cap, dtype=I32)
     first = jnp.ones(B_cap, bool).at[1:].set(base_s[1:] != base_s[:-1])
     within = idx - jax.lax.cummax(jnp.where(first, idx, -1))
