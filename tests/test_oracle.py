@@ -171,3 +171,43 @@ def test_model_equals_golden_on_boundary_crossers():
     assert (g.bwt6 == m.bwt6).all()
     assert (g.sharp_pos == m.sharp_pos).all()
     assert g.dollar_pos == m.dollar_pos
+
+
+@pytest.mark.parametrize("m", [12, 24, 32])
+def test_device_pipeline_k_sweep(m, tmp_path):
+    """The DEVICE pipeline (not just the NumPy model) byte-matches the
+    reference binary across the -k range."""
+    from debwt_tpu.pipeline import build_bwt
+    from debwt_tpu.types import PipelineConfig
+
+    rng = np.random.default_rng(m + 100)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(80, 300))))
+        for _ in range(8)
+    ]
+    coll = SequenceCollection.from_reads(reads)
+    _assert_parity(
+        build_bwt(coll, PipelineConfig(m=m, check=True)),
+        reads, tmp_path, m=m,
+    )
+
+
+def test_dist_pipeline_vs_reference(tmp_path):
+    """The distributed pipeline byte-matches the reference binary."""
+    import jax
+
+    from debwt_tpu.parallel import dist_build_bwt, make_mesh
+    from debwt_tpu.types import PipelineConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    rng = np.random.default_rng(77)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 250))))
+        for _ in range(10)
+    ]
+    coll = SequenceCollection.from_reads(reads)
+    _assert_parity(
+        dist_build_bwt(coll, PipelineConfig(), make_mesh(8)),
+        reads, tmp_path,
+    )
