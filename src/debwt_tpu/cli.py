@@ -38,6 +38,8 @@ def main(argv=None):
                    help="seed for --n-policy random")
     p.add_argument("--verify", action="store_true",
                    help="LF-walk invertibility check after construction")
+    p.add_argument("--verify-steps", type=int, default=None, metavar="S",
+                   help="bound the LF walk to the last S chars (default: full)")
     p.add_argument("--check", action="store_true",
                    help="enable internal invariant checks")
     args = p.parse_args(argv)
@@ -83,7 +85,7 @@ def main(argv=None):
     if args.verify:
         from debwt_tpu.verify import lf_verify
 
-        ok = lf_verify(result, coll)
+        ok = lf_verify(result, coll, max_steps=args.verify_steps)
         print(f"[debwt-tpu] LF invertibility: {'OK' if ok else 'FAILED'}",
               file=sys.stderr)
         if not ok:
