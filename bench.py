@@ -99,8 +99,12 @@ def measure_reference(reads, m=32):
 
         # run once; measure total and subtract the counter step by
         # timing the counter alone
+        n_bp = sum(len(r) for r in reads)
         t_ref0 = time.time()
-        obj, sharp, dollar = run_reference(reads, td, m=m, threads=8)
+        obj, sharp, dollar = run_reference(
+            reads, td, m=m, threads=8,
+            timeout=max(600, int(n_bp / 1e6 * 60)),  # ~0.13 Mbp/s observed
+        )
         t_total = time.time() - t_ref0
     # time the python counter alone on the same input, to subtract it
     with tempfile.TemporaryDirectory() as td2:

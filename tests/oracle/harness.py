@@ -22,26 +22,59 @@ import numpy as np
 REF_BINARY = "/root/reference/deBWT"
 
 _COUNTER_SNIPPET = r"""
+# Vectorized stand-in for `jellyfish count + dump -c -t`: emits
+# `kmer\tcount` lines. Counts are zero-padded to a fixed width so the
+# whole dump is one fixed-stride byte matrix (fscanf %lu at
+# src/mySort.c:54 parses leading zeros as plain decimal).
 import sys
-from collections import Counter
+import numpy as np
 src, m, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-seqs, cur = [], []
-for line in open(src):
-    line = line.strip()
-    if line.startswith('>'):
-        if cur:
-            seqs.append(''.join(cur)); cur = []
-    else:
-        cur.append(line.upper())
-if cur:
-    seqs.append(''.join(cur))
-c = Counter()
-for s in seqs:
-    for i in range(len(s) - m + 1):
-        c[s[i:i+m]] += 1
-with open(out, 'w') as f:
-    for kmer, n in c.items():
-        f.write(f"{kmer}\t{n}\n")
+buf = np.frombuffer(open(src, 'rb').read(), np.uint8)
+nl = np.nonzero(buf == 10)[0]
+starts = np.concatenate([[0], nl + 1])
+if starts[-1] >= buf.shape[0]:
+    starts = starts[:-1]
+ends = np.concatenate([nl, [buf.shape[0]]])[: starts.shape[0]]
+is_hdr = buf[starts] == ord('>')
+keep = np.ones(buf.shape[0], bool)
+keep[buf == 10] = False
+keep[buf == 13] = False
+for h, e in zip(starts[is_hdr], ends[is_hdr]):
+    keep[h:e] = False
+kept_cum = np.cumsum(keep)
+rec_start = kept_cum[starts[is_hdr]]          # kept bytes before header
+seq = buf[keep]
+lut = np.full(256, 255, np.uint8)
+for i, ch in enumerate(b'ACGT'):
+    lut[ch] = i
+    lut[ch + 32] = i
+codes = lut[seq]
+assert not (codes == 255).any(), 'non-ACGT char in counter input'
+L = codes.shape[0]
+bounds = np.concatenate([rec_start, [L]]).astype(np.int64)
+P = L - m + 1
+if P <= 0:
+    open(out, 'w').close(); sys.exit(0)
+keys = np.zeros(P, np.uint64)
+c64 = codes.astype(np.uint64)
+for j in range(m):
+    keys = (keys << np.uint64(2)) | c64[j : j + P]
+pos = np.arange(P, dtype=np.int64)
+rid = np.searchsorted(bounds, pos, side='right')
+valid = pos + m <= bounds[rid]
+u, c = np.unique(keys[valid], return_counts=True)
+w = max(1, len(str(int(c.max()))))
+n = u.shape[0]
+mat = np.empty((n, m + 1 + w + 1), np.uint8)
+b = np.frombuffer(b'ACGT', np.uint8)
+for j in range(m):
+    mat[:, j] = b[((u >> np.uint64(2 * (m - 1 - j))) & np.uint64(3)).astype(np.int64)]
+mat[:, m] = 9
+d = c.astype(np.int64)
+for j in range(w):
+    mat[:, m + 1 + j] = (d // 10 ** (w - 1 - j)) % 10 + ord('0')
+mat[:, -1] = 10
+open(out, 'wb').write(mat.tobytes())
 """
 
 
@@ -57,7 +90,7 @@ def write_fasta(path, reads, width=70):
                 f.write(r[j : j + width] + "\n")
 
 
-def run_reference(reads, workdir, m=32, threads=1):
+def run_reference(reads, workdir, m=32, threads=1, timeout=600):
     # threads=1 by default: the reference's multi-thread SP stitch reads
     # out of bounds (multiCatSP, src/generateSP.c:356 — tempSP[num][-1])
     # whenever a thread segment has fewer than 32 SP events, corrupting
@@ -88,7 +121,7 @@ def run_reference(reads, workdir, m=32, threads=1):
          "-j", "/unused", str(fasta)],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=timeout,
     )
     if not obj.exists():
         raise RuntimeError(
