@@ -1,0 +1,79 @@
+"""Tier routing: one entry point that picks the right execution path.
+
+The reference covers its whole operating envelope (up to the 30 Gbp
+LF-walk design cap, src/LFsearch.c:56) with one code path; here the
+envelope is covered by three, each idiomatic for its scale:
+
+  single   fused one-sort engine (pipeline.build_bwt), R < 2^29 rows
+  dist     multi-device shard_map pipeline (parallel.dist_build_bwt)
+  ooc      out-of-core chunked pipeline with host-DRAM spill
+           (oocore.build_bwt_ooc) when the collection exceeds what the
+           attached devices can hold
+
+`build` routes on collection size and device count so callers (CLI,
+bench) never hit a tier's NotImplementedError by accident.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from debwt_tpu.pipeline import BwtResult, _bucket, _pow2, build_bwt
+from debwt_tpu.types import PipelineConfig, SequenceCollection
+
+# Single-chip fused-engine row bound (engine.stage_graph packs segment
+# facts beside row indices in int32 scans).
+_SINGLE_ROWS = 1 << 29
+
+
+def _fits_single(coll: SequenceCollection, m: int) -> bool:
+    return (
+        _bucket(coll.bwt_len) + _pow2(coll.n_reads * (m - 1))
+        < _SINGLE_ROWS
+    )
+
+
+def build(
+    coll: SequenceCollection,
+    config: PipelineConfig | None = None,
+    n_devices: int | None = None,
+    verbose: bool = False,
+) -> BwtResult:
+    """Construct the BWT, auto-routing to the right tier.
+
+    n_devices: force the distributed path over N devices (the CLI
+    --dist flag); None picks single-chip when it fits, else all local
+    devices, else the out-of-core tier.
+    """
+    config = config or PipelineConfig()
+
+    def _say(msg):
+        if verbose:
+            print(f"[debwt-tpu] route: {msg}", file=sys.stderr)
+
+    if n_devices:
+        from debwt_tpu.parallel import dist_build_bwt, make_mesh
+
+        _say(f"distributed over {n_devices} devices (requested)")
+        return dist_build_bwt(coll, config, make_mesh(n_devices))
+
+    if _fits_single(coll, config.m):
+        _say("single-chip fused engine")
+        return build_bwt(coll, config)
+
+    import jax
+
+    n_dev = len(jax.devices())
+    # per-shard row bound for the dist tier (per-shard arrays are int32)
+    per_shard = -(-coll.bwt_len // max(1, n_dev))
+    if n_dev > 1 and per_shard < _SINGLE_ROWS and coll.bwt_len < 2**32:
+        _say(f"distributed over all {n_dev} local devices "
+             f"(N={coll.bwt_len} exceeds the single-chip row bound)")
+        from debwt_tpu.parallel import dist_build_bwt, make_mesh
+
+        return dist_build_bwt(coll, config, make_mesh(n_dev))
+
+    _say(f"out-of-core chunked tier (N={coll.bwt_len}, {n_dev} device(s))")
+    from debwt_tpu.oocore import build_bwt_ooc
+
+    return build_bwt_ooc(coll, config)

@@ -67,14 +67,9 @@ def main(argv=None):
     config = PipelineConfig(m=args.m, check=args.check)
 
     t1 = time.time()
-    if args.dist:
-        from debwt_tpu.parallel import dist_build_bwt, make_mesh
+    from debwt_tpu.api import build
 
-        result = dist_build_bwt(coll, config, make_mesh(args.dist))
-    else:
-        from debwt_tpu.pipeline import build_bwt
-
-        result = build_bwt(coll, config)
+    result = build(coll, config, n_devices=args.dist or None, verbose=True)
     dt = time.time() - t1
     print(f"[debwt-tpu] BWT of {coll.bwt_len} chars in {dt:.2f}s "
           f"({coll.bwt_len/1e6/dt:.2f} Mbp/s)", file=sys.stderr)

@@ -256,6 +256,9 @@ def stage_graph(
     # two scans carry 2 fact bits each (idx<<2|bits), good to R < 2^29
     # — the same bound as the packed scatter below.
     assert R < (1 << 29), R
+    # wide-path spec_ord = N + (spec_j<<3) + char must stay in int32
+    # even when n_spec approaches N (degenerate read length ~= k)
+    assert N + 8 * n_spec < (1 << 31), (N, n_spec)
     idx = jnp.arange(R, dtype=I32)
     facts = (
         (pred_single << 2) | (mi_seg.astype(I32) << 1) | mo_seg.astype(I32)

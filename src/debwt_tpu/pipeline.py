@@ -73,9 +73,9 @@ def _pow2(x: int) -> int:
 
 
 def _bucket(x: int) -> int:
-    """Next eighth-power-of-two >= x (<= 12.5% padding overhead) —
-    compile-shape bucketing so one compiled program serves a range of
-    input sizes."""
+    """Next eighth-power-of-two >= x (< 25% padding worst case, e.g.
+    65 -> 80) — compile-shape bucketing so one compiled program serves
+    a range of input sizes."""
     x = max(64, int(x))
     b = (x - 1).bit_length()
     step = 1 << max(0, b - 3)
@@ -105,14 +105,15 @@ def build_bwt(
     m = config.m
     N = coll.bwt_len
     n = coll.n_reads
-    # int32 fast path holds to R = N_cap + n_spec < 2^29 (the packed
-    # fact-broadcast/scatter bound in engine.stage_graph); larger texts
-    # need the x64 tier (multi-host sharding via parallel.dist or the
-    # 30 Gbp spill tier).
-    if _bucket(N) >= (1 << 29) - (1 << 20) and not config.use_x64:
+    # int32 fast path holds to R = N_cap + ns_cap < 2^29 (the packed
+    # fact-broadcast/scatter bound in engine.stage_graph; n_spec is
+    # exactly n_reads*k). Larger texts route to the distributed /
+    # out-of-core tiers via api.build (see api.py).
+    if _bucket(N) + _pow2(n * (m - 1)) >= (1 << 29):
         raise NotImplementedError(
-            "int32 pipeline: text must be < ~512 Mbp; use the x64 tier "
-            "(PipelineConfig(use_x64=True)) / multi-host sharding"
+            "int32 pipeline: text must be < ~512 Mbp (R < 2^29 rows); "
+            "use debwt_tpu.api.build, which routes large collections to "
+            "the multi-device / out-of-core tiers"
         )
 
     # ---- host: special module (tiny, irregular) ----

@@ -26,10 +26,6 @@ class PipelineConfig:
     """
 
     m: int = K.DEFAULT_M
-    # Reserved for the 30 Gbp split-index tier (docs/ROADMAP.md); the
-    # single-chip engine covers < 2^29 rows in int32 and the
-    # distributed tier < 2^32 chars in uint32 without it.
-    use_x64: bool = False
     # Validate internal invariants (costs extra device work).
     check: bool = False
 

@@ -80,14 +80,17 @@ def main(mbp=1.0):
         return jnp.asarray(out)
 
     t0 = time.perf_counter()
+    spec_branch_d = pad(
+        sp.spec_branch_pos.astype(np.int32),
+        _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap,
+    )
     args = (
         jnp.asarray(ops.pack_2bit_words_host(x2p)),
         pad(coll.sep.astype(np.int32), _pow2(n), N_cap),
         pad(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
         pad(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
         pad(sp.spec_bwt6, ns_cap, 0),
-        pad(sp.spec_branch_pos.astype(np.int32),
-            _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap),
+        spec_branch_d,
         jnp.int32(N),
     )
     sync(args)
@@ -96,7 +99,7 @@ def main(mbp=1.0):
 
     g = timeit("stage_graph",
                lambda: engine.stage_graph(*args, m, N_cap))
-    (bwt6_partial, dist, mi_pos, base_pos, is_sp_a, sp_idx_of,
+    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
      bwt_char, L, B, x2p_d) = g
     t0 = time.perf_counter()
     L, B = int(L), int(B)
@@ -105,12 +108,13 @@ def main(mbp=1.0):
     L_cap, B_cap = _pow2(L), _pow2(B)
     f = timeit("stage_finish",
                lambda: engine.stage_finish(
-                   x2p_d, dist, mi_pos, base_pos, is_sp_a, sp_idx_of,
-                   bwt_char, bwt6_partial, jnp.int32(N),
+                   x2p_d, dist, mo_row, mi_row, seg_start, r_pos,
+                   bwt_char, bwt6_partial, spec_branch_d, jnp.int32(N),
                    m, N_cap, L_cap, B_cap, _pow2(n)))
     t0 = time.perf_counter()
     packed = np.asarray(jax.device_get(f[1]))
-    print(f"  {'d2h packed':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms")
+    print(f"  {'d2h packed':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms  "
+          f"({packed.nbytes/1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
