@@ -44,8 +44,8 @@ def main(argv=None):
                    help="enable internal invariant checks")
     args = p.parse_args(argv)
 
-    from debwt_tpu.io import read_fasta, write_bwt
-    from debwt_tpu.types import PipelineConfig, SequenceCollection
+    from debwt_tpu.io import read_collection, write_bwt
+    from debwt_tpu.types import PipelineConfig
 
     # pre-flight: output writability (src/main.c:55-58)
     try:
@@ -59,11 +59,10 @@ def main(argv=None):
         return 1
 
     t0 = time.time()
-    reads, names = read_fasta(args.source, args.n_policy, args.seed)
-    print(f"[debwt-tpu] {len(reads)} reads, "
-          f"{sum(len(r) for r in reads)/1e6:.2f} Mbp "
+    coll = read_collection(args.source, args.n_policy, args.seed)
+    print(f"[debwt-tpu] {coll.n_reads} reads, "
+          f"{(coll.bwt_len - coll.n_reads)/1e6:.2f} Mbp "
           f"({time.time()-t0:.2f}s ingest)", file=sys.stderr)
-    coll = SequenceCollection.from_reads(reads)
     config = PipelineConfig(m=args.m, check=args.check)
 
     t1 = time.time()

@@ -76,6 +76,105 @@ def read_fasta(
     return _parse_fasta_numpy(raw, n_policy, seed)
 
 
+def read_collection(
+    path: str,
+    n_policy: NPolicy | str = NPolicy.REJECT,
+    seed: int = 0,
+    chunk_bytes: int = 1 << 26,
+):
+    """Stream a FASTA/FASTQ file (optionally .gz) straight into a
+    SequenceCollection: chunked reading (no whole-file slurp, gz
+    decompressed incrementally), vectorized per-chunk parsing, and no
+    per-read Python objects — peak memory is the 2-bit-codes output
+    plus one chunk, not 2x the raw file. This is the scale path the
+    CLI uses; `read_fasta` remains the convenience API when per-read
+    arrays/names are wanted.
+
+    The reference's analogue is kseq.h's buffered streaming
+    (src/kseq.h:36-90) feeding collect's two-pass packer
+    (src/collect#$.c:37-90); here one pass suffices because code
+    chunks are accumulated and concatenated once.
+    """
+    from debwt_tpu.types import SequenceCollection
+
+    if isinstance(n_policy, str):
+        n_policy = NPolicy(n_policy)
+    opener = gzip.open if str(path).endswith(".gz") else open
+    chunks: List[np.ndarray] = []    # per-region code arrays
+    bound_parts: List[np.ndarray] = []  # read-start offsets, global
+    base = 0                          # total kept (code) bytes so far
+    lines_seen = 0                    # FASTQ phase carry
+    region_i = 0
+    fmt = None
+    carry = b""
+
+    def _region(region: bytes):
+        nonlocal base, lines_seen, region_i
+        buf = np.frombuffer(region, dtype=np.uint8)
+        starts, ends = _line_table(buf)
+        if starts.size == 0:
+            return
+        if fmt == "fasta":
+            is_rec = buf[starts] == ord(">")
+            is_body = ~is_rec
+        else:
+            phase = (lines_seen + np.arange(starts.shape[0])) % 4
+            is_rec = phase == 1       # the sequence line IS the record
+            is_body = is_rec
+            lines_seen += starts.shape[0]
+        keep = _span_mask(buf, starts[is_body], ends[is_body])
+        # kept length per line (line body minus CRs) -> record starts
+        # by a LINE-level cumsum; no per-byte int64 scan
+        crs = np.nonzero(buf == ord("\r"))[0]
+        body_len = ends - starts
+        if crs.size:
+            body_len = body_len - (
+                np.searchsorted(crs, ends) - np.searchsorted(crs, starts)
+            )
+        body_len = np.where(is_body, body_len, 0)
+        line_off = np.concatenate([[0], np.cumsum(body_len)[:-1]])
+        rec_off = line_off[is_rec]
+        codes = _encode(buf[keep], n_policy, seed + region_i)
+        bound_parts.append(base + rec_off)
+        chunks.append(codes)
+        base += codes.shape[0]
+        region_i += 1
+
+    with opener(path, "rb") as f:
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                break
+            buf = carry + data
+            if fmt is None:
+                if buf[:1] == b"@":
+                    fmt = "fastq"
+                elif buf[:1] == b">":
+                    fmt = "fasta"
+                else:
+                    raise ValueError(
+                        f"{path}: not FASTA/FASTQ (starts with {buf[:1]!r})"
+                    )
+            cut = buf.rfind(b"\n") + 1
+            if cut == 0:
+                carry = buf
+                continue
+            carry = buf[cut:]
+            _region(buf[:cut])
+    if carry:
+        _region(carry + b"\n")
+    if fmt is None:
+        raise ValueError(f"empty input: {path}")
+    codes = (np.concatenate(chunks) if chunks
+             else np.zeros(0, dtype=np.uint8))
+    starts_all = (np.concatenate(bound_parts) if bound_parts
+                  else np.zeros(0, dtype=np.int64))
+    if starts_all.size == 0:
+        raise ValueError(f"no records parsed from {path}")
+    lengths = np.diff(np.concatenate([starts_all, [codes.shape[0]]]))
+    return SequenceCollection.from_concat(codes, lengths)
+
+
 def _parse_fasta_numpy(raw: bytes, n_policy: NPolicy, seed: int):
     buf = np.frombuffer(raw, dtype=np.uint8)
     nl = buf == ord("\n")
@@ -113,21 +212,53 @@ def _parse_fasta_numpy(raw: bytes, n_policy: NPolicy, seed: int):
     return reads, names
 
 
+def _line_table(buf: np.ndarray):
+    """(starts, ends) of every newline-terminated line in buf; a final
+    unterminated line is included with end = len(buf)."""
+    nl = np.nonzero(buf == ord("\n"))[0]
+    starts = np.concatenate([[0], nl + 1]).astype(np.int64)
+    ends = np.concatenate([nl, [buf.shape[0]]]).astype(np.int64)
+    if starts[-1] >= buf.shape[0]:
+        starts, ends = starts[:-1], ends[:-1]
+    return starts, ends[: starts.shape[0]]
+
+
+def _span_mask(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Boolean mask covering [starts_i, ends_i) spans, minus CRs —
+    one delta pass instead of a per-span Python loop. Spans never nest
+    (they are disjoint line bodies), so int8 accumulators suffice and
+    transients stay ~3x the buffer, not 8x."""
+    delta = np.zeros(buf.shape[0] + 1, dtype=np.int8)
+    delta[starts] = 1
+    delta[ends] -= 1          # an end never equals another span's start
+    keep = np.cumsum(delta[:-1], dtype=np.int8) > 0
+    keep[buf == ord("\r")] = False
+    return keep
+
+
 def _parse_fastq(raw: bytes, n_policy: NPolicy, seed: int):
-    # FASTQ: 4-line records (the reference reads these via kseq too)
-    names, reads = [], []
-    lines = raw.split(b"\n")
-    i = 0
-    while i + 1 < len(lines):
-        if not lines[i].startswith(b"@"):
-            break
-        names.append(lines[i][1:].split()[0].decode() if len(lines[i]) > 1
-                     else f"read{len(names)}")
-        seq = np.frombuffer(lines[i + 1], dtype=np.uint8)
-        reads.append(_encode(seq, n_policy, seed + len(reads)))
-        i += 4
-    if not names:
+    # FASTQ: 4-line records (the reference reads these via kseq too).
+    # Vectorized: one pass builds the line table, a delta-mask extracts
+    # all sequence lines at once (no per-record Python loop over reads,
+    # no raw.split memory doubling).
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    starts, ends = _line_table(buf)
+    phase = np.arange(starts.shape[0]) % 4
+    is_seq = phase == 1
+    if not is_seq.any():
         raise ValueError("no FASTQ records parsed")
+    keep = _span_mask(buf, starts[is_seq], ends[is_seq])
+    codes_all = _encode(buf[keep], n_policy, seed)
+    excl = np.zeros(buf.shape[0] + 1, dtype=np.int64)
+    np.cumsum(keep, out=excl[1:])
+    bounds = np.concatenate([excl[starts[is_seq]], [codes_all.shape[0]]])
+    reads = [codes_all[bounds[j] : bounds[j + 1]]
+             for j in range(bounds.shape[0] - 1)]
+    hdr_s, hdr_e = starts[phase == 0], ends[phase == 0]
+    names = []
+    for j in range(len(reads)):
+        h = bytes(buf[hdr_s[j] + 1 : hdr_e[j]]).split()
+        names.append(h[0].decode() if h else f"read{j}")
     return reads, names
 
 

@@ -68,6 +68,37 @@ class SequenceCollection:
         return out
 
     @classmethod
+    def from_concat(
+        cls, codes: np.ndarray, lengths: np.ndarray
+    ) -> "SequenceCollection":
+        """Build from concatenated read codes (uint8, 0..3) plus
+        per-read lengths — the allocation-free path for large
+        collections (no per-read Python objects; all vectorized)."""
+        lengths = np.asarray(lengths, dtype=np.int64)
+        if lengths.size == 0:
+            raise ValueError("empty read collection")
+        if int(lengths.min(initial=np.iinfo(np.int64).max)) < K.MIN_READ_LEN:
+            raise ValueError(
+                f"read length {int(lengths.min())} <= 32; the reference "
+                "enforces length > 32 (src/collect#$.c:41-45)"
+            )
+        total = int(lengths.sum())
+        if codes.shape[0] != total:
+            raise ValueError(
+                f"codes length {codes.shape[0]} != sum(lengths) {total}"
+            )
+        if codes.size and codes.max() > 3:
+            raise ValueError("code arrays must be over 0..3")
+        n = lengths.shape[0]
+        sep = np.cumsum(lengths + 1) - 1
+        x2 = np.empty(total + n, dtype=np.uint8)
+        is_sep = np.zeros(total + n, dtype=bool)
+        is_sep[sep] = True
+        x2[sep] = K.T
+        x2[~is_sep] = codes
+        return cls(x2=x2, sep=sep)
+
+    @classmethod
     def from_reads(cls, reads: Sequence[str | bytes | np.ndarray]) -> "SequenceCollection":
         """Build from a list of reads (strings over ACGT or code arrays)."""
         if not reads:
