@@ -79,3 +79,23 @@ def test_graft_entry_dryrun():
     fn, args = mod.entry()
     jax.jit(fn)(*args)
     mod.dryrun_multichip(8)
+
+
+def test_pathological_single_bucket_8dev():
+    """Worst case for _sample_splitters16: one 16-bit key bucket (all-A
+    prefixes) carries almost every key, so splitters cannot separate
+    inside it and one chip owns nearly the whole key space. Must stay
+    byte-correct (capacities size up; balance degrades gracefully)."""
+    rng = np.random.default_rng(7)
+    # a dominant poly-A run with sparse point mutations (keeps branch
+    # nodes inside the hot bucket), plus a couple of normal reads
+    polyA = np.zeros(30_000, dtype=np.uint8)
+    mut = rng.choice(len(polyA) - 64, size=40, replace=False) + 32
+    polyA[mut] = rng.integers(1, 4, size=40)
+    reads = [
+        "".join("ACGT"[c] for c in polyA),
+        "".join(rng.choice(list("ACGT"), size=500)),
+        "A" * 4000,
+        "".join(rng.choice(list("ACGT"), size=300)),
+    ]
+    _assert_equal(SequenceCollection.from_reads(reads), make_mesh(8))
