@@ -1,0 +1,511 @@
+"""Out-of-core chunked BWT construction — the 30 Gbp tier.
+
+The reference is an out-of-core pipeline by design: every stage
+boundary is a 32 MiB-buffered disk file (src/collect#$.h:12), deleted
+as consumed (src/INandOut.c:915-918), and its LF-walk capacity constant
+is sized for ~30 Gbp (src/LFsearch.c:56). This module is the TPU-native
+equivalent: device memory is bounded by two static caps (the text
+chunk and the key bucket) no matter how large the collection is, and
+the working set between passes lives in host DRAM — or on disk when a
+spill directory is given (np.memmap-backed bucket files, the moral
+equivalent of the reference's temp-file tiering).
+
+Structure (two device passes over bounded windows + host routing):
+
+  pass A  (text chunks)   device: k-window node keys per position
+                          host:   row metadata (choice/pred/head bits),
+                                  bin rows into key-range buckets by
+                                  sampled splitters (the distributed
+                                  analogue of mySort's bucket histogram
+                                  prefix-sums, src/mySort.c:98-110)
+  pass B  (key buckets)   device: ONE sort per bucket + segment-scan
+                          classification (same row semantics as
+                          engine.stage_graph's wide path); the sorted
+                          row index inside bucket b plus the bucket
+                          base IS the global BWT coordinate
+  SP rank (device)        the compressed SP string (branch events
+                          only, tiny next to the text) ranked by
+                          prefix tripling (engine._suffix_ranks)
+  finish  (host)          blue entries ordered by (block base, SP
+                          rank, position) and scattered into the
+                          coordinate-ordered bwt array
+
+Coordinates are int64 on the HOST and chunk/bucket-local int32 on the
+DEVICE — the "split index" discipline: no device array ever holds a
+global position, so the 2^31/2^32 ceilings of the single-chip and
+distributed tiers do not exist here. Global bases are added back in
+NumPy (int64) when bucket outputs are stitched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debwt_tpu import constants as K
+from debwt_tpu import ops
+from debwt_tpu.engine import _suffix_ranks
+from debwt_tpu.pipeline import BwtResult, _pow2
+from debwt_tpu.special import build_special
+from debwt_tpu.types import PipelineConfig, SequenceCollection
+
+I32 = jnp.int32
+KEY_MAX = np.uint32(0xFFFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class OocConfig:
+    """Knobs for the out-of-core tier.
+
+    chunk:      text positions per pass-A device dispatch.
+    n_buckets:  key-range buckets (pass-B sorts); device peak memory is
+                O(max bucket size), so more buckets = less HBM.
+    spill_dir:  when set, bucket rows spill to files under this
+                directory instead of host DRAM lists (the 30 Gbp
+                disk tier); files are deleted as consumed, like the
+                reference's temp files (src/INandOut.c:915-918).
+    sp_cap:     max SP-string length rankable on one device.
+    """
+
+    chunk: int = 1 << 26
+    n_buckets: int = 64
+    spill_dir: str | None = None
+    sp_cap: int = 1 << 28
+
+
+# ---------------------------------------------------------------------------
+# pass A: device window keys per text chunk
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "C"))
+def _chunk_keys(x2w, k: int, C: int):
+    """(hi, lo) node keys for the C positions of one text chunk.
+
+    x2w: uint32[(C + k + 15) // 16] packed 2-bit codes of the chunk
+    plus a k-char forward halo (separators stored as T).
+    """
+    x2c = ops.unpack_2bit_words(x2w, C + k)
+    return ops.window_keys(x2c[: C + k - 1], k)
+
+
+def sample_splitters16(x2: np.ndarray, n: int, seed: int = 17,
+                       samples: int = 1 << 16) -> np.ndarray:
+    """n-1 top-16-bit key splitters from a host-side sample of 8-char
+    window prefixes — equal-depth partition of the key distribution
+    (the balance role of mySort's cumulative bucket counts,
+    src/mySort.c:104-110). Same granularity caveat as the distributed
+    tier: one hot 16-bit bucket cannot be split further."""
+    P = max(1, x2.shape[0] - 8)
+    idx = np.random.default_rng(seed).integers(0, P, size=samples)
+    v = np.zeros(samples, dtype=np.uint16)
+    for i in range(8):
+        v = (v << 2) | x2[np.minimum(idx + i, x2.shape[0] - 1)].astype(np.uint16)
+    v.sort()
+    qs = (np.arange(1, n) * samples) // n
+    return v[qs]
+
+
+class _BucketStore:
+    """Per-bucket row spill: host-DRAM lists, or append-only files
+    under spill_dir (one file per bucket per column)."""
+
+    COLS = (("hi", np.uint32), ("lo", np.uint32), ("k16", np.uint16),
+            ("pos", np.int64))
+
+    def __init__(self, n_buckets: int, spill_dir: str | None):
+        self.n = n_buckets
+        self.dir = spill_dir
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+            self._fh = {
+                (b, c): open(os.path.join(spill_dir, f"bk{b}.{c}"), "wb")
+                for b in range(n_buckets) for c, _ in self.COLS
+            }
+        else:
+            self._mem = [
+                {c: [] for c, _ in self.COLS} for _ in range(n_buckets)
+            ]
+        self.sizes = np.zeros(n_buckets, dtype=np.int64)
+
+    def append(self, b: int, hi, lo, k16, pos):
+        self.sizes[b] += hi.shape[0]
+        cols = dict(hi=hi, lo=lo, k16=k16, pos=pos)
+        if self.dir:
+            for c, dt in self.COLS:
+                self._fh[(b, c)].write(
+                    np.ascontiguousarray(cols[c].astype(dt)).tobytes()
+                )
+        else:
+            for c, dt in self.COLS:
+                self._mem[b][c].append(cols[c].astype(dt))
+
+    def load(self, b: int):
+        """Fetch and CONSUME bucket b's rows."""
+        if self.dir:
+            out = {}
+            for c, dt in self.COLS:
+                fh = self._fh[(b, c)]
+                fh.close()
+                path = fh.name
+                out[c] = np.fromfile(path, dtype=dt)
+                os.unlink(path)   # deleted as consumed
+            return out["hi"], out["lo"], out["k16"], out["pos"]
+        cols = self._mem[b]
+        out = tuple(
+            np.concatenate(cols[c]) if cols[c] else np.empty(0, dt)
+            for c, dt in self.COLS
+        )
+        self._mem[b] = None   # release as consumed
+        return out
+
+    def close(self):
+        if self.dir:
+            for fh in self._fh.values():
+                if not fh.closed:
+                    fh.close()
+
+
+# ---------------------------------------------------------------------------
+# pass B: one sort + segment-scan classification per bucket
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _classify_bucket(r_hi, r_lo, r_k16, r_ord, cap: int):
+    """Classify one bucket of rows (same semantics as the wide path of
+    engine.stage_graph, reference mergeKmer src/INandOut.c:252-445).
+
+    Row layout (r_k16, int32):
+      main row:  choice<<8 | bwt_char<<4 | head<<3 | predf   (< 1<<12)
+      special:   1<<12                                        (char in ord)
+      padding:   2<<12
+    r_ord: main = input row index; special = true_rank<<3 | char6.
+
+    Returns per SORTED row:
+      fill6      uint8  partial BWT char (0 in blue slots)
+      mo, mi     bool   per-node flags broadcast to node rows
+      seg_start  int32  local sorted index of the row's segment start
+      ord_s      int32  input row index (-1 for non-main rows)
+      bwt3       uint8  the row's BWT char (blue char source)
+      total      int32  number of valid rows (== bucket coordinate span)
+    """
+    r_hi, r_lo, r_k16, r_ord = jax.lax.sort(
+        (r_hi, r_lo, r_k16, r_ord), num_keys=4
+    )
+    r_spec = r_k16 >> 12
+    is_node_row = r_spec == 0
+    row_valid = r_spec <= 1
+    choice = (r_k16 >> 8) & 15
+    r_pred = r_k16 & 7
+    r_head = (r_k16 & 8) != 0
+    newseg = jnp.ones(cap, bool)
+    newseg = newseg.at[1:].set(
+        (r_hi[1:] != r_hi[:-1])
+        | (r_lo[1:] != r_lo[:-1])
+        | (r_spec[1:] != r_spec[:-1])
+    )
+    choice_chg = jnp.zeros(cap, bool).at[1:].set(choice[1:] != choice[:-1])
+    mo_ind = ((choice_chg & ~newseg) | (choice >= 4)) & is_node_row
+
+    is_last = jnp.concatenate([newseg[1:], jnp.ones(1, bool)])
+    cols = jnp.stack([
+        (r_pred == 0) & is_node_row,
+        (r_pred == 1) & is_node_row,
+        (r_pred == 2) & is_node_row,
+        (r_pred == 3) & is_node_row,
+        r_head & is_node_row,
+        mo_ind,
+    ]).astype(I32)
+    S = jnp.cumsum(cols, axis=1)
+    S_excl = S - cols
+    BIG = jnp.iinfo(jnp.int32).max
+    seg_end = jax.lax.cummin(
+        jnp.where(is_last[None, :], S, BIG), axis=1, reverse=True
+    )
+    tot = seg_end - S_excl
+    in_d = (
+        (tot[0] > 0).astype(I32) + (tot[1] > 0).astype(I32)
+        + (tot[2] > 0).astype(I32) + (tot[3] > 0).astype(I32)
+    )
+    mo_seg = tot[5] > 0
+    mi_seg = (in_d >= 2) | (tot[4] > 0)
+    pred_sum = (
+        (tot[1] > 0).astype(I32) + 2 * (tot[2] > 0).astype(I32)
+        + 3 * (tot[3] > 0).astype(I32)
+    )
+    pred_single = jnp.where(in_d == 1, pred_sum, 0)
+    assert cap < (1 << 27), cap   # idx<<4|facts fits int32
+    idx = jnp.arange(cap, dtype=I32)
+    facts = (
+        (pred_single << 2) | (mi_seg.astype(I32) << 1) | mo_seg.astype(I32)
+    )
+    bcast = jax.lax.cummax(jnp.where(newseg, (idx << 4) | facts, -1))
+    seg_start = bcast >> 4
+    f_row = bcast & 15
+    mo_row = ((f_row & 1) != 0) & is_node_row
+    mi_row = ((f_row & 2) != 0) & is_node_row
+    pred_single_row = ((f_row >> 2) & 3).astype(jnp.uint8)
+    is_spec1 = r_spec == 1
+    spec_char_row = (r_ord & 7).astype(jnp.uint8)
+    fill_row = jnp.where(
+        is_spec1, spec_char_row,
+        jnp.where(mi_row, jnp.uint8(0), pred_single_row),
+    )
+    fill6 = jnp.where(row_valid, fill_row, 0).astype(jnp.uint8)
+    ord_s = jnp.where(is_node_row, r_ord, -1)
+    bwt3 = ((r_k16 >> 4) & 7).astype(jnp.uint8)
+    total = jnp.sum(row_valid.astype(I32))
+    return fill6, mo_row, mi_row, seg_start, ord_s, bwt3, total
+
+
+def blue_coordinates(b_base, b_pos, b_char, rank, sp_pos):
+    """Final BWT coordinates of the case-3 (blue) entries: sort by
+    (block base, SP-suffix rank, position) — position ascending for
+    equal ranks is the reference's LIFO-queue drain discipline
+    (src/generateSP.c:662-680) — then coordinate = base + index within
+    the equal-base run. All arithmetic is int64: bases past 2^32 (the
+    30 Gbp tier) are exact."""
+    b_base = b_base.astype(np.int64)
+    L = sp_pos.shape[0]
+    sp_idx = np.searchsorted(sp_pos, b_pos, side="left")
+    sp_idx = np.minimum(sp_idx, max(0, L - 1))
+    order = np.lexsort((b_pos, rank[sp_idx], b_base))
+    base_s = b_base[order]
+    n = base_s.shape[0]
+    first = np.ones(n, dtype=bool)
+    first[1:] = base_s[1:] != base_s[:-1]
+    seg_start_idx = np.maximum.accumulate(
+        np.where(first, np.arange(n, dtype=np.int64), 0)
+    )
+    within = np.arange(n, dtype=np.int64) - seg_start_idx
+    return base_s + within, b_char[order]
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def build_bwt_ooc(
+    coll: SequenceCollection,
+    config: PipelineConfig | None = None,
+    ooc: OocConfig | None = None,
+    stats: dict | None = None,
+) -> BwtResult:
+    """stats, when given, is filled with {'bucket_cap', 'chunk',
+    'n_chunks', 'sp_len', 'n_blue'} — the test hook that proves device
+    arrays stay bounded by the caps while N is unbounded."""
+    config = config or PipelineConfig()
+    ooc = ooc or OocConfig()
+    m, k = config.m, config.k
+    N = coll.bwt_len
+    trace = os.environ.get("DEBWT_TRACE") == "1"
+
+    def _say(msg):
+        if trace:
+            print(f"[debwt-tpu ooc] {msg}", file=sys.stderr)
+
+    sp = build_special(coll, m)
+    nb = ooc.n_buckets
+    splitters = sample_splitters16(coll.x2, nb)
+    x2p = np.concatenate(
+        [coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)]
+    )
+
+    # ---- pass A: keys on device, metadata + binning on host ----
+    C = min(ooc.chunk, _pow2(N))
+    n_chunks = -(-N // C)
+    store = _BucketStore(nb, ooc.spill_dir)
+    sep = coll.sep                         # int64, sorted, sep[-1] == N-1
+    is_sep_prev = np.zeros(N, dtype=bool)  # position follows a separator
+    is_sep_prev[0] = True
+    is_sep_prev[sep[:-1] + 1] = True
+
+    pending = None   # (c0, C_real, device keys) — one-deep pipeline so
+    #                   chunk i+1's dispatch overlaps chunk i's binning
+
+    def _bin_rows(c0, C_real, hi_d, lo_d):
+        hi = np.asarray(jax.device_get(hi_d))[:C_real]
+        lo = np.asarray(jax.device_get(lo_d))[:C_real]
+        pos = c0 + np.arange(C_real, dtype=np.int64)
+        nxt = np.searchsorted(sep, pos)
+        dist = sep[nxt] - pos
+        valid = dist >= k
+        if not valid.any():
+            return
+        hi, lo, pos, dist = hi[valid], lo[valid], pos[valid], dist[valid]
+        nextc = x2p[pos + k].astype(np.uint16)
+        is_tailw = dist == k
+        choice = np.where(
+            is_tailw, np.where(pos + k == N - 1, 5, 4), nextc
+        ).astype(np.uint16)
+        head = is_sep_prev[pos]
+        prev = x2p[np.maximum(pos - 1, 0)].astype(np.uint16)
+        bwt_char = np.where(
+            pos == 0, 5, np.where(head, 4, prev)
+        ).astype(np.uint16)
+        predf = np.where(head, 7, prev).astype(np.uint16)
+        k16 = (
+            (choice << 8) | (bwt_char << 4) | (head.astype(np.uint16) << 3)
+            | predf
+        )
+        top16 = ((hi.astype(np.uint64) << np.uint64(32)) | lo) >> np.uint64(
+            2 * k - 16
+        )
+        dest = np.searchsorted(splitters, top16.astype(np.uint16),
+                               side="right")
+        order = np.argsort(dest, kind="stable")
+        dest_s = dest[order]
+        bounds = np.searchsorted(dest_s, np.arange(nb + 1))
+        for b in range(nb):
+            s, e = bounds[b], bounds[b + 1]
+            if s < e:
+                sl = order[s:e]
+                store.append(b, hi[sl], lo[sl], k16[sl], pos[sl])
+
+    for ci in range(n_chunks):
+        c0 = ci * C
+        C_real = min(C, N - c0)
+        buf = np.full(C + k, K.T, dtype=np.uint8)
+        take = min(C + k, x2p.shape[0] - c0)
+        buf[:take] = x2p[c0 : c0 + take]
+        kw = jnp.asarray(ops.pack_2bit_words_host(buf))
+        keys = _chunk_keys(kw, k, C)
+        if pending is not None:
+            _bin_rows(*pending)
+        pending = (c0, C_real, *keys)
+    if pending is not None:
+        _bin_rows(*pending)
+    store.close()
+    _say(f"pass A: {n_chunks} chunks of {C}, bucket rows "
+         f"max={int(store.sizes.max())} total={int(store.sizes.sum())}")
+
+    # special rows -> buckets (true suffix order preserved per bucket
+    # because splitters partition the key space monotonically)
+    spec_top16 = (sp.spec_tfill >> np.uint64(2 * k - 16)).astype(np.uint16)
+    spec_dest = np.searchsorted(splitters, spec_top16, side="right")
+    spec_hi = (sp.spec_tfill >> np.uint64(32)).astype(np.uint32)
+    spec_lo = (sp.spec_tfill & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    spec_rank = np.arange(sp.spec_tfill.shape[0], dtype=np.int64)
+    # spec payload rank<<3|char must fit the int32 sort operand
+    assert (sp.spec_tfill.shape[0] << 3) < (1 << 31), sp.spec_tfill.shape
+
+    # ---- pass B: per-bucket sort + classification ----
+    cap = _pow2(int(
+        (store.sizes + np.bincount(spec_dest, minlength=nb)).max()
+    ))
+    assert cap < (1 << 27), (
+        f"bucket cap {cap} exceeds the device segment-scan bound; "
+        f"raise OocConfig.n_buckets (key skew caveat in "
+        f"sample_splitters16.__doc__)"
+    )
+    bwt6 = np.zeros(N, dtype=np.uint8)
+    base = 0                      # int64 host coordinate — no 2^32 cap
+    sp_pos_parts = []             # SP event positions (int64)
+    blue_parts = []               # (base int64, pos int64, char u8)
+    max_dev_rows = 0
+    for b in range(nb):
+        hi, lo, k16, pos = store.load(b)
+        nmain = hi.shape[0]
+        smask = spec_dest == b
+        nspec = int(smask.sum())
+        n_rows = nmain + nspec
+        if n_rows == 0:
+            continue
+        r_hi = np.full(cap, KEY_MAX, dtype=np.uint32)
+        r_lo = np.full(cap, KEY_MAX, dtype=np.uint32)
+        r_k16 = np.full(cap, 2 << 12, dtype=np.int32)
+        r_ord = np.arange(cap, dtype=np.int32)
+        r_hi[:nmain] = hi
+        r_lo[:nmain] = lo
+        r_k16[:nmain] = k16
+        if nspec:
+            r_hi[nmain:n_rows] = spec_hi[smask]
+            r_lo[nmain:n_rows] = spec_lo[smask]
+            r_k16[nmain:n_rows] = 1 << 12
+            r_ord[nmain:n_rows] = (
+                (spec_rank[smask] << 3) | sp.spec_bwt6[smask]
+            ).astype(np.int32)
+        fill6, mo_row, mi_row, seg_start, ord_s, bwt3, total = (
+            _classify_bucket(
+                jnp.asarray(r_hi), jnp.asarray(r_lo),
+                jnp.asarray(r_k16), jnp.asarray(r_ord), cap,
+            )
+        )
+        total = int(total)
+        assert total == n_rows, (total, n_rows)
+        max_dev_rows = max(max_dev_rows, cap)
+        fill6 = np.asarray(jax.device_get(fill6))[:total]
+        bwt6[base : base + total] = fill6
+        mo_h = np.asarray(jax.device_get(mo_row))[:total]
+        mi_h = np.asarray(jax.device_get(mi_row))[:total]
+        ord_h = np.asarray(jax.device_get(ord_s))[:total]
+        if mo_h.any():
+            sp_pos_parts.append(pos[ord_h[mo_h]])
+        if mi_h.any():
+            seg_h = np.asarray(jax.device_get(seg_start))[:total]
+            char_h = np.asarray(jax.device_get(bwt3))[:total]
+            mrows = np.nonzero(mi_h)[0]
+            blue_parts.append((
+                base + seg_h[mrows].astype(np.int64),
+                pos[ord_h[mrows]],
+                char_h[mrows],
+            ))
+        base += total
+    assert base == N, (base, N)
+    _say(f"pass B: {nb} buckets, device rows/bucket = {max_dev_rows}")
+
+    # ---- SP string: events in text order, ranked on device ----
+    sp_pos = np.sort(np.concatenate(
+        sp_pos_parts + [sp.spec_branch_pos.astype(np.int64)]
+    )) if (sp_pos_parts or sp.spec_branch_pos.size) else np.empty(0, np.int64)
+    L = sp_pos.shape[0]
+    if L > ooc.sp_cap:
+        raise NotImplementedError(
+            f"SP string ({L} events) exceeds the single-device rank cap "
+            f"{ooc.sp_cap}; route to the distributed tier"
+        )
+    nxt = np.searchsorted(sep, sp_pos)
+    d_at = sep[nxt] - sp_pos
+    is_sepc = d_at == k
+    sp6 = np.where(
+        is_sepc, np.where(sp_pos + k == N - 1, 5, 4), x2p[sp_pos + k]
+    ).astype(np.uint8)
+    Lc = _pow2(max(1, L))
+    sp6_ext = np.zeros(Lc, dtype=np.uint8)
+    sp6_ext[:L] = sp6
+    rank = np.asarray(jax.device_get(
+        _suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L))
+    ))[:L]
+    _say(f"SP string: {L} events")
+
+    # ---- blue fill: (block base, SP rank, position) order ----
+    if blue_parts:
+        b_base = np.concatenate([p[0] for p in blue_parts])
+        b_pos = np.concatenate([p[1] for p in blue_parts])
+        b_char = np.concatenate([p[2] for p in blue_parts])
+        coords, chars = blue_coordinates(b_base, b_pos, b_char, rank, sp_pos)
+        bwt6[coords] = chars
+    _say(f"blue entries: {sum(p[0].shape[0] for p in blue_parts)}")
+
+    if stats is not None:
+        stats.update(
+            bucket_cap=cap, chunk=C, n_chunks=n_chunks, sp_len=L,
+            n_blue=sum(p[0].shape[0] for p in blue_parts),
+        )
+    (sharp,) = np.nonzero(bwt6 == K.SHARP)
+    (dollar,) = np.nonzero(bwt6 == K.DOLLAR)
+    assert dollar.shape[0] == 1, dollar
+    return BwtResult(
+        sharp_pos=sharp.astype(np.int64),
+        dollar_pos=int(dollar[0]),
+        _bwt6=bwt6,
+        _n=N,
+    )

@@ -1,0 +1,120 @@
+"""Out-of-core tier tests: byte parity with forced chunking/spill,
+bounded device arrays, and int64 coordinate arithmetic past 2^32.
+
+The chunk/bucket caps are forced far below the input size so the
+chunked external-sort machinery is genuinely exercised at test scale
+(the reference's analogue is its 32 MiB temp-file tiering,
+src/collect#$.h:12)."""
+
+import numpy as np
+import pytest
+
+from debwt_tpu.golden import golden_bwt
+from debwt_tpu.oocore import (
+    OocConfig, blue_coordinates, build_bwt_ooc, sample_splitters16,
+)
+from debwt_tpu.pipeline import build_bwt
+from debwt_tpu.types import PipelineConfig, SequenceCollection
+
+from conftest import random_reads
+
+
+def _check(coll, config, ooc, stats=None):
+    res = build_bwt_ooc(coll, config, ooc, stats=stats)
+    want = golden_bwt(coll).bwt6
+    assert (res.bwt6 == want).all()
+    return res
+
+
+@pytest.mark.parametrize("m", [12, 20, 32])
+def test_ooc_matches_golden_forced_chunking(rng, m):
+    reads = random_reads(rng, 12, lo=40, hi=200)
+    coll = SequenceCollection.from_reads(reads)
+    ooc = OocConfig(chunk=256, n_buckets=8)
+    stats = {}
+    _check(coll, PipelineConfig(m=m), ooc, stats)
+    # chunking really happened and device arrays stayed bounded
+    assert stats["n_chunks"] > 3
+    assert stats["bucket_cap"] < coll.bwt_len
+
+
+def test_ooc_matches_single_chip_pipeline(rng):
+    reads = random_reads(rng, 8, lo=60, hi=300)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=24)
+    a = build_bwt_ooc(coll, config, OocConfig(chunk=512, n_buckets=4))
+    b = build_bwt(coll, config)
+    assert (a.bwt6 == b.bwt6).all()
+    assert (a.sharp_pos == b.sharp_pos).all()
+    assert a.dollar_pos == b.dollar_pos
+    assert a.packed() == b.packed()
+
+
+def test_ooc_spill_to_disk(rng, tmp_path):
+    reads = random_reads(rng, 6, lo=40, hi=150)
+    coll = SequenceCollection.from_reads(reads)
+    ooc = OocConfig(chunk=128, n_buckets=8, spill_dir=str(tmp_path / "sp"))
+    _check(coll, PipelineConfig(m=16), ooc)
+    # spill files are deleted as consumed
+    leftover = list((tmp_path / "sp").glob("bk*"))
+    assert leftover == []
+
+
+def test_ooc_repetitive_skew(rng):
+    # heavy duplicate key mass: one repeated motif dominates
+    motif = "ACGTACGTAAATTTCCCGGG" * 4
+    reads = [motif * 3 + "".join(rng.choice(list("ACGT"), size=40))
+             for _ in range(6)]
+    coll = SequenceCollection.from_reads(reads)
+    _check(coll, PipelineConfig(m=14), OocConfig(chunk=200, n_buckets=8))
+
+
+def test_blue_coordinates_past_2_32():
+    # bucket bases beyond 2^32: int64 coordinate arithmetic is exact
+    BIG = np.int64(2**32 + 12345)
+    b_base = np.array([BIG, BIG, BIG + 10, BIG, BIG + 10], dtype=np.int64)
+    b_pos = np.array([100, 50, 7, 150, 3], dtype=np.int64)
+    b_char = np.array([1, 2, 3, 0, 2], dtype=np.uint8)
+    sp_pos = np.array([10, 60, 120], dtype=np.int64)
+    rank = np.array([5, 1, 9], dtype=np.int64)
+    coords, chars = blue_coordinates(b_base, b_pos, b_char, rank, sp_pos)
+    # base BIG: pos 50 -> sp_idx 1 (rank 1); pos 100 -> sp_idx 2
+    # (rank 9); pos 150 -> clipped sp_idx 2 (rank 9, pos tie-break).
+    # order: (1,50)=2, (9,100)=1, (9,150)=0
+    assert coords.dtype == np.int64
+    got = dict(zip(coords.tolist(), chars.tolist()))
+    assert got[int(BIG)] == 2        # pos 50
+    assert got[int(BIG) + 1] == 1    # pos 100
+    assert got[int(BIG) + 2] == 0    # pos 150
+    assert got[int(BIG) + 10] == 2   # base BIG+10: pos 3 before pos 7
+    assert got[int(BIG) + 11] == 3
+
+
+def test_splitters_partition_monotone(rng):
+    x2 = rng.integers(0, 4, size=5000).astype(np.uint8)
+    sp = sample_splitters16(x2, 8)
+    assert sp.shape == (7,)
+    assert (np.diff(sp.astype(np.int64)) >= 0).all()
+
+
+def test_api_routes_to_ooc(rng, monkeypatch):
+    # force the router past the single-chip bound by shrinking it
+    import debwt_tpu.api as api
+
+    reads = random_reads(rng, 4, lo=40, hi=80)
+    coll = SequenceCollection.from_reads(reads)
+    monkeypatch.setattr(api, "_SINGLE_ROWS", 1)
+    monkeypatch.setattr(api, "_fits_single", lambda c, m: False)
+    import jax
+
+    if len(jax.devices()) > 1:
+        # with multiple devices the router prefers dist; force ooc
+        monkeypatch.setattr(
+            api, "_SINGLE_ROWS", 1, raising=True
+        )
+    # call the ooc tier directly through the router by pretending one
+    # device is present
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [object()])
+    res = api.build(coll, PipelineConfig(m=16))
+    want = golden_bwt(coll).bwt6
+    assert (res.bwt6 == want).all()

@@ -211,3 +211,22 @@ def test_dist_pipeline_vs_reference(tmp_path):
         dist_build_bwt(coll, PipelineConfig(), make_mesh(8)),
         reads, tmp_path,
     )
+
+
+def test_ooc_pipeline_vs_reference(tmp_path):
+    """The out-of-core chunked tier byte-matches the reference binary
+    with chunking and disk spill force-enabled."""
+    from debwt_tpu.oocore import OocConfig, build_bwt_ooc
+    from debwt_tpu.types import PipelineConfig
+
+    rng = np.random.default_rng(91)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 250))))
+        for _ in range(10)
+    ]
+    coll = SequenceCollection.from_reads(reads)
+    ooc = OocConfig(chunk=256, n_buckets=8,
+                    spill_dir=str(tmp_path / "spill"))
+    _assert_parity(
+        build_bwt_ooc(coll, PipelineConfig(), ooc), reads, tmp_path,
+    )
