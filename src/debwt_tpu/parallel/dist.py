@@ -116,43 +116,11 @@ def _first_char(e_hi, e_lo, k: int):
     return ((e_lo >> (2 * k)) & 3).astype(I32)
 
 
-def _pack_by_dest(dest, valid, cap: int, n: int, *payload):
-    """Pack rows into (n, cap) slots by destination. Invalid rows and
-    overflow are dropped; payload arrays get caller-chosen fill."""
-    outs = []
-    Ns = dest.shape[0]
-    # slot index of each row within its destination bucket
-    order = jnp.argsort(jnp.where(valid, dest, n), stable=True)
-    d_sorted = jnp.where(valid, dest, n)[order]
-    idx = jnp.arange(Ns, dtype=I32)
-    first = jnp.ones(Ns, dtype=bool).at[1:].set(d_sorted[1:] != d_sorted[:-1])
-    seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
-    within = idx - seg_start
-    flat = d_sorted * cap + jnp.minimum(within, cap - 1)
-    ok = (d_sorted < n) & (within < cap)
-    flat = jnp.where(ok, flat, n * cap)
-    for arr, fill in payload:
-        buf = jnp.full((n * cap,), fill, dtype=arr.dtype)
-        buf = buf.at[flat].set(arr[order], mode="drop")
-        outs.append(buf.reshape(n, cap))
-    return outs
-
-
-def _a2a(x):
-    return jax.lax.all_to_all(x, "d", split_axis=0, concat_axis=0, tiled=False)
-
-
-def _exclusive_scan_over_devices(total):
-    """Per-device exclusive prefix sum of a scalar across the axis.
-    Accumulates in uint32: per-shard totals are int32 but the global
-    prefix can reach 2^32 (the 3-4 Gbp tier)."""
-    ag = jax.lax.all_gather(total, "d").astype(jnp.uint32)  # (n,)
-    r = jax.lax.axis_index("d")
-    mask = jnp.arange(ag.shape[0]) < r
-    return (
-        jnp.sum(jnp.where(mask, ag, 0), dtype=jnp.uint32),
-        jnp.sum(ag, dtype=jnp.uint32),
-    )
+from debwt_tpu.parallel.collectives import (
+    a2a as _a2a,
+    exclusive_scan_over_devices as _exclusive_scan_over_devices,
+    pack_by_dest as _pack_by_dest,
+)
 
 
 def dist_build_bwt(
@@ -567,16 +535,96 @@ def dist_build_bwt(
         l_sp_d, pc_d, ps_d,
     )
 
-    # gather the SP string (compact) and rank it (replicated)
-    sp6_h = np.asarray(jax.device_get(sp6_d))
-    sp6_full = np.concatenate(
-        [sp6_h[r, : l_sp_h[r]] for r in range(n)]
+    # ---------------- S2c: block-shard the SP stream + rank it ----------------
+    # The SP string and its rank array stay sharded across the mesh
+    # (the reference's per-thread SP segments + stitch,
+    # src/generateSP.c:273-415); the replicated ranker is only the
+    # fallback if a sample-sort partition overflows.
+    assert L_total < (1 << 31)
+    Pb = _pow2(max(16, -(-L_total // n)))
+    cap_q = n * cap_blue
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d")), out_specs=P("d"),
     )
-    assert sp6_full.shape[0] == L_total
-    Lc = _pow2(max(1, L_total))
-    sp6_ext = np.zeros(Lc, dtype=np.uint8)
-    sp6_ext[:L_total] = sp6_full
-    sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L_total))
+    def s2c(sp6, l_sp):
+        sp6 = sp6[0]
+        r = jax.lax.axis_index("d")
+        sp_base, _ = _exclusive_scan_over_devices(l_sp[0])
+        j = jnp.arange(cap_sp, dtype=I32)
+        gidx = sp_base.astype(I32) + j
+        val = j < l_sp[0]
+        dest = jnp.where(val, gidx // Pb, n)
+        capc = min(Pb, cap_sp)
+        ch, gx = _pack_by_dest(
+            dest, val, capc, n, (sp6, jnp.uint8(0)), (gidx, jnp.int32(-1)),
+        )
+        ch, gx = _a2a(ch), _a2a(gx)
+        ch, gx = ch.reshape(-1), gx.reshape(-1)
+        loc = jnp.where(gx >= 0, gx - r.astype(I32) * Pb, Pb)
+        blk = jnp.zeros(Pb, jnp.uint8).at[loc].set(ch, mode="drop")
+        return blk[None]
+
+    sp6_blk = s2c(sp6_d, l_sp_d)
+    from debwt_tpu.parallel.sprank import sp_ranks_sharded
+
+    rank_blk = sp_ranks_sharded(mesh, sp6_blk, L_total)
+
+    if rank_blk is not None:
+        # distributed rank lookup for the blue entries (echo pattern:
+        # queries routed to rank-block owners, responses scattered
+        # back by slot id)
+        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("d"), P("d"), P("d")), out_specs=P("d"),
+        )
+        def s2d(rank_b, b_sidx, b_ref):
+            rank_b = rank_b[0]
+            q = b_sidx[0].reshape(-1).astype(I32)
+            val = b_ref[0].reshape(-1) != INV32
+            sid = jnp.arange(cap_q, dtype=I32)
+            r = jax.lax.axis_index("d")
+            dest = jnp.where(val, jnp.minimum(q, L_total - 1) // Pb, n)
+            qs0, ss0 = _pack_by_dest(
+                dest, val, cap_q, n, (q, jnp.int32(-1)), (sid, jnp.int32(-1)),
+            )
+            qs = _a2a(qs0)
+            lq = jnp.where(
+                qs.reshape(-1) >= 0,
+                qs.reshape(-1) - r.astype(I32) * Pb, Pb,
+            )
+            resp = jnp.where(
+                lq < Pb, rank_b[jnp.minimum(jnp.maximum(lq, 0), Pb - 1)], 0
+            ).reshape(n, cap_q)
+            # responses return in the source's own slot structure;
+            # scatter them back by the PRE-exchange slot ids (ss0)
+            resp = _a2a(resp)
+            out = jnp.zeros(cap_q, I32).at[
+                jnp.where(ss0.reshape(-1) >= 0, ss0.reshape(-1), cap_q)
+            ].set(resp.reshape(-1), mode="drop")
+            return out[None]
+
+        b_rank_d = s2d(rank_blk, b_sidx_d, b_ref_d)
+        sp6_full = sp_rank = None
+    else:
+        # fallback: replicated ranking (partition overflow is detected,
+        # never silent — see sprank.sp_ranks_sharded)
+        sp6_h = np.asarray(jax.device_get(sp6_d))
+        sp6_full = np.concatenate(
+            [sp6_h[r, : l_sp_h[r]] for r in range(n)]
+        )
+        assert sp6_full.shape[0] == L_total
+        Lc = _pow2(max(1, L_total))
+        sp6_ext = np.zeros(Lc, dtype=np.uint8)
+        sp6_ext[:L_total] = sp6_full
+        sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L_total))
+        rank_h = np.asarray(jax.device_get(sp_rank))
+        sidx_h = np.asarray(jax.device_get(b_sidx_d)).astype(np.int64)
+        b_rank_h = rank_h[np.minimum(sidx_h, Lc - 1)].astype(np.int32)
+        b_rank_d = dev(b_rank_h.reshape(n, cap_q))
 
     # ---------------- S3: order + assemble segments ----------------
     seg_sizes_h = None
@@ -593,18 +641,19 @@ def dist_build_bwt(
         shard_map, mesh=mesh,
         in_specs=(
             P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
-            P("d"), P(), P(),
+            P("d"), P(),
         ),
         out_specs=(P("d"), P("d")),
     )
-    def s3(node_start, cnt, multi_in, pred, spec_bwtpos, b_ref, b_sidx,
-           b_char, sp_rank_r, spec_char):
+    def s3(node_start, cnt, multi_in, pred, spec_bwtpos, b_ref, b_rank,
+           b_char, spec_char):
         node_start, cnt, multi_in, pred = (
             node_start[0], cnt[0], multi_in[0], pred[0]
         )
         spec_bwtpos = spec_bwtpos[0]
-        b_ref, b_sidx, b_char = (
-            b_ref[0].reshape(-1), b_sidx[0].reshape(-1), b_char[0].reshape(-1)
+        b_ref, rank, b_char = (
+            b_ref[0].reshape(-1), b_rank[0].reshape(-1),
+            b_char[0].reshape(-1),
         )
         local_total = jnp.sum(cnt) + jnp.sum(
             (spec_bwtpos != INV32).astype(I32)
@@ -613,7 +662,6 @@ def dist_build_bwt(
         # blue ordering
         val = b_ref != INV32
         nid = jnp.where(val, (b_ref // n).astype(I32), cap_n)
-        rank = sp_rank_r[jnp.minimum(b_sidx, sp_rank_r.shape[0] - 1)]
         nid_s, _, char_s = jax.lax.sort(
             (nid, rank, b_char.astype(I32)), num_keys=2
         )
@@ -661,8 +709,9 @@ def dist_build_bwt(
             b_ref=np.asarray(jax.device_get(b_ref_d)),
             b_sidx=np.asarray(jax.device_get(b_sidx_d)),
             b_char=np.asarray(jax.device_get(b_char_d)),
-            sp6_full=sp6_full,
-            sp_rank=np.asarray(jax.device_get(sp_rank)),
+            b_rank=np.asarray(jax.device_get(b_rank_d)),
+            sp6_blk=np.asarray(jax.device_get(sp6_blk)),
+            sharded_rank=rank_blk is not None,
             node_hi=np.asarray(jax.device_get(node_hi)),
             node_lo=np.asarray(jax.device_get(node_lo)),
             cnt=cnt_h,
@@ -674,8 +723,7 @@ def dist_build_bwt(
         )
     seg_d, seg_total_d = s3(
         node_start, cnt, multi_in, pred, spec_bwtpos,
-        b_ref_d, b_sidx_d, b_char_d,
-        jax.device_put(sp_rank, rep), spec_char_rep,
+        b_ref_d, b_rank_d, b_char_d, spec_char_rep,
     )
     seg_h = np.asarray(jax.device_get(seg_d))
     totals = np.asarray(jax.device_get(seg_total_d)).reshape(-1)
