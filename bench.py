@@ -18,6 +18,10 @@ the reference's counting-script time, which favors the reference).
 Env knobs:
   DEBWT_BENCH_MBP    genome size in Mbp (default 4.6, E. coli scale)
   DEBWT_BENCH_REPS   timing repetitions (default 3)
+  DEBWT_BENCH_M      k-mer length m (reference -k; default 32)
+  DEBWT_BENCH_DIST=1 also time the distributed path over all local
+                     devices (reported on stderr + cache; the single
+                     JSON line stays the single-chip metric)
   DEBWT_BENCH_SKIP_BASELINE=1   skip the reference run (ratio uses cache
                                 or 0.0 if absent)
 """
@@ -126,9 +130,10 @@ def measure_reference(reads, m=32):
 def main():
     mbp = float(os.environ.get("DEBWT_BENCH_MBP", "4.6"))
     reps = int(os.environ.get("DEBWT_BENCH_REPS", "3"))
+    m = int(os.environ.get("DEBWT_BENCH_M", "32"))
     reads = synth_reads(mbp)
     n_bases = sum(len(r) for r in reads)
-    print(f"[bench] input: {n_bases/1e6:.2f} Mbp in {len(reads)} reads",
+    print(f"[bench] input: {n_bases/1e6:.2f} Mbp in {len(reads)} reads, m={m}",
           file=sys.stderr)
 
     _setup_jax_cache()
@@ -136,7 +141,7 @@ def main():
     from debwt_tpu.types import PipelineConfig, SequenceCollection
 
     coll = SequenceCollection.from_reads(reads)
-    config = PipelineConfig(m=32)
+    config = PipelineConfig(m=m)
 
     # warmup (compile)
     t0 = time.time()
@@ -155,16 +160,42 @@ def main():
     print(f"[bench] pipeline best-of-{reps}: {t_mine:.3f}s = {mbps:.2f} Mbp/s",
           file=sys.stderr)
 
-    # baseline
     cache = {}
     if CACHE.exists():
         cache = json.loads(CACHE.read_text())
-    key = f"ref_mbp{mbp}"
+
+    if os.environ.get("DEBWT_BENCH_DIST") == "1":
+        import jax
+
+        from debwt_tpu.parallel import dist_build_bwt, make_mesh
+
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        t0 = time.time()
+        dres = dist_build_bwt(coll, config, mesh)
+        print(f"[bench] dist warmup ({n_dev} dev, incl. compile): "
+              f"{time.time()-t0:.2f}s", file=sys.stderr)
+        dtimes = []
+        for _ in range(reps):
+            t0 = time.time()
+            dres = dist_build_bwt(coll, config, mesh)
+            dtimes.append(time.time() - t0)
+        assert (dres.bwt6 == result.bwt6).all()
+        d_mbps = n_bases / 1e6 / min(dtimes)
+        print(f"[bench] dist best-of-{reps}: {min(dtimes):.3f}s = "
+              f"{d_mbps:.2f} Mbp/s over {n_dev} device(s)", file=sys.stderr)
+        cache[f"dist_mbp{mbp}_m{m}_n{n_dev}"] = {
+            "seconds": min(dtimes), "mbps": d_mbps,
+        }
+        CACHE.write_text(json.dumps(cache))
+
+    # baseline
+    key = f"ref_mbp{mbp}" if m == 32 else f"ref_mbp{mbp}_m{m}"
     if os.environ.get("DEBWT_BENCH_SKIP_BASELINE") != "1" and key not in cache:
         try:
             import hashlib
 
-            t_ref, obj, sharp, dollar = measure_reference(reads)
+            t_ref, obj, sharp, dollar = measure_reference(reads, m=m)
             cache[key] = {
                 "seconds": t_ref,
                 "mbps": n_bases / 1e6 / t_ref,

@@ -34,7 +34,6 @@ Pipeline layers (each maps a reference stage to a TPU-native design):
 """
 
 from debwt_tpu.types import PipelineConfig, SequenceCollection
-from debwt_tpu.pipeline import build_bwt, BwtResult
 
 __version__ = "0.1.0"
 
@@ -45,3 +44,14 @@ __all__ = [
     "BwtResult",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # build_bwt / BwtResult import jax (and may touch the XLA
+    # backend); keep the package import side-effect free so that
+    # multi-host launchers can run jax.distributed.initialize first.
+    if name in ("build_bwt", "BwtResult"):
+        from debwt_tpu import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)

@@ -44,37 +44,68 @@ def main(argv=None):
                    help="enable internal invariant checks")
     args = p.parse_args(argv)
 
+    # multi-host: join the jax.distributed cluster BEFORE any other
+    # debwt_tpu import (package import touches the XLA backend, and
+    # jax.distributed.initialize must run first). No-op unless
+    # DEBWT_COORDINATOR / DEBWT_NUM_PROCESSES are set by the launcher.
+    import os as _os
+
+    multi = False
+    rank0 = True
+    if _os.environ.get("DEBWT_COORDINATOR") or _os.environ.get(
+        "DEBWT_NUM_PROCESSES"
+    ):
+        import jax
+
+        v = _os.environ.get("DEBWT_NUM_PROCESSES")
+        w = _os.environ.get("DEBWT_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=_os.environ.get("DEBWT_COORDINATOR"),
+            num_processes=int(v) if v else None,
+            process_id=int(w) if w else None,
+        )
+        multi = jax.process_count() > 1
+        rank0 = jax.process_index() == 0
+
+    def say(msg):
+        if rank0:
+            print(msg, file=sys.stderr)
+
     from debwt_tpu.io import read_collection, write_bwt
     from debwt_tpu.types import PipelineConfig
 
-    # pre-flight: output writability (src/main.c:55-58)
-    try:
-        with open(args.obj, "wb"):
-            pass
-        import os
+    # pre-flight: output writability (src/main.c:55-58); rank 0 only —
+    # concurrent create/remove of one path races across processes
+    if rank0:
+        try:
+            with open(args.obj, "wb"):
+                pass
+            import os
 
-        os.remove(args.obj)
-    except OSError as e:
-        print(f"cannot create {args.obj}: {e}", file=sys.stderr)
-        return 1
+            os.remove(args.obj)
+        except OSError as e:
+            print(f"cannot create {args.obj}: {e}", file=sys.stderr)
+            return 1
 
     t0 = time.time()
     coll = read_collection(args.source, args.n_policy, args.seed)
-    print(f"[debwt-tpu] {coll.n_reads} reads, "
-          f"{(coll.bwt_len - coll.n_reads)/1e6:.2f} Mbp "
-          f"({time.time()-t0:.2f}s ingest)", file=sys.stderr)
+    say(f"[debwt-tpu] {coll.n_reads} reads, "
+        f"{(coll.bwt_len - coll.n_reads)/1e6:.2f} Mbp "
+        f"({time.time()-t0:.2f}s ingest)")
     config = PipelineConfig(m=args.m, check=args.check)
 
     t1 = time.time()
     from debwt_tpu.api import build
 
-    result = build(coll, config, n_devices=args.dist or None, verbose=True)
+    result = build(coll, config, n_devices=args.dist or None,
+                   verbose=rank0)
     dt = time.time() - t1
-    print(f"[debwt-tpu] BWT of {coll.bwt_len} chars in {dt:.2f}s "
-          f"({coll.bwt_len/1e6/dt:.2f} Mbp/s)", file=sys.stderr)
+    say(f"[debwt-tpu] BWT of {coll.bwt_len} chars in {dt:.2f}s "
+        f"({coll.bwt_len/1e6/dt:.2f} Mbp/s)")
 
-    write_bwt(result, args.obj)
-    print(f"[debwt-tpu] wrote {args.obj} (+ .#, .$)", file=sys.stderr)
+    if rank0:
+        write_bwt(result, args.obj)
+    say(f"[debwt-tpu] wrote {args.obj} (+ .#, .$)")
 
     if args.verify:
         from debwt_tpu.verify import lf_verify

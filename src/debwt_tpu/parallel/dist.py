@@ -55,6 +55,29 @@ shard_map = jax.shard_map
 DEBUG = None
 
 
+def _fetch(x):
+    """Host copy of a P('d')-sharded array — device_get single-process,
+    process_allgather when the mesh spans hosts (each host sees only
+    its addressable shards; the gather rides DCN)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def _put(a, sharding):
+    """device_put host data under a (possibly multi-host) sharding.
+    Every process passes the same full array; only addressable shards
+    are materialized locally."""
+    a = np.asarray(a)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+    return jax.device_put(a, sharding)
+
+
 def _top16(hi, lo, nbits: int):
     """Top 16 bits of an nbits-wide right-aligned key pair."""
     s = nbits - 16
@@ -187,7 +210,7 @@ def dist_build_bwt(
 
     sharding = NamedSharding(mesh, P("d"))
     rep = NamedSharding(mesh, P())
-    dev = lambda a, s=sharding: jax.device_put(jnp.asarray(a), s)
+    dev = lambda a, s=sharding: _put(a, s)
     x2_d = dev(x2_sh)
     dist_d = dev(dist_sh)
     sb_d = dev(spec_branch_sh)
@@ -214,7 +237,7 @@ def dist_build_bwt(
         return h1[None], h2[None]
 
     h1, h2 = s0(x2_d, dist_d)
-    cap_e = _pow2(max(1, int(np.asarray(h1).max()), int(np.asarray(h2).max())))
+    cap_e = _pow2(max(1, int(_fetch(h1).max()), int(_fetch(h2).max())))
     cap_n = n * cap_e + n_reads + 1
 
     # ---------------- S1: exchange + node tables + coordinates ----------------
@@ -401,7 +424,7 @@ def dist_build_bwt(
     )
 
     # ---------------- S2: text-side classification ----------------
-    spec_bwtpos_h = np.asarray(jax.device_get(spec_bwtpos))
+    spec_bwtpos_h = _fetch(spec_bwtpos)
     # owners hold the coordinate; non-owners hold INV32 (u32 max)
     spec_bwtpos_comb = spec_bwtpos_h.min(axis=0)
     assert (spec_bwtpos_comb != np.uint32(0xFFFFFFFF)).all()
@@ -464,8 +487,8 @@ def dist_build_bwt(
         x2_d, dist_d, sb_d, mi_b, mo_b, ref_b, pos_b,
         dev(tail_flag_mi.reshape(n, Ns)), dev(tail_ref_full.reshape(n, Ns)),
     )
-    l_sp_h = np.asarray(jax.device_get(l_sp_d))
-    l_blue_h = np.asarray(jax.device_get(l_blue_d))
+    l_sp_h = _fetch(l_sp_d)
+    l_blue_h = _fetch(l_blue_d)
     cap_sp = _pow2(max(1, int(l_sp_h.max())))
     cap_blue = _pow2(max(1, int(l_blue_h.max())))
     L_total = int(l_sp_h.sum())
@@ -612,7 +635,7 @@ def dist_build_bwt(
     else:
         # fallback: replicated ranking (partition overflow is detected,
         # never silent — see sprank.sp_ranks_sharded)
-        sp6_h = np.asarray(jax.device_get(sp6_d))
+        sp6_h = _fetch(sp6_d)
         sp6_full = np.concatenate(
             [sp6_h[r, : l_sp_h[r]] for r in range(n)]
         )
@@ -622,14 +645,14 @@ def dist_build_bwt(
         sp6_ext[:L_total] = sp6_full
         sp_rank = sp_suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L_total))
         rank_h = np.asarray(jax.device_get(sp_rank))
-        sidx_h = np.asarray(jax.device_get(b_sidx_d)).astype(np.int64)
+        sidx_h = _fetch(b_sidx_d).astype(np.int64)
         b_rank_h = rank_h[np.minimum(sidx_h, Lc - 1)].astype(np.int32)
         b_rank_d = dev(b_rank_h.reshape(n, cap_q))
 
     # ---------------- S3: order + assemble segments ----------------
     seg_sizes_h = None
     # per-device segment size = sum of its unit sizes
-    cnt_h = np.asarray(jax.device_get(cnt))
+    cnt_h = _fetch(cnt)
     spec_owned = spec_bwtpos_h != np.uint32(0xFFFFFFFF)
     seg_sizes = cnt_h.sum(axis=1) + spec_owned.sum(axis=1)
     cap_seg = _pow2(max(1, int(seg_sizes.max())))
@@ -725,8 +748,8 @@ def dist_build_bwt(
         node_start, cnt, multi_in, pred, spec_bwtpos,
         b_ref_d, b_rank_d, b_char_d, spec_char_rep,
     )
-    seg_h = np.asarray(jax.device_get(seg_d))
-    totals = np.asarray(jax.device_get(seg_total_d)).reshape(-1)
+    seg_h = _fetch(seg_d)
+    totals = _fetch(seg_total_d).reshape(-1)
     assert (totals == seg_sizes).all()
     bwt6 = np.concatenate([seg_h[r, : totals[r]] for r in range(n)])
     assert bwt6.shape[0] == N
@@ -769,7 +792,7 @@ def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
         node_hi, node_lo, multi_in, multi_out,
         jnp.asarray(q_hi), jnp.asarray(q_lo),
     )
-    mi_h = np.asarray(jax.device_get(mi_q)).any(axis=0)
-    mo_h = np.asarray(jax.device_get(mo_q)).any(axis=0)
-    ref_h = np.asarray(jax.device_get(ref_q)).min(axis=0)  # miss = INV32
+    mi_h = _fetch(mi_q).any(axis=0)
+    mo_h = _fetch(mo_q).any(axis=0)
+    ref_h = _fetch(ref_q).min(axis=0)  # miss = INV32
     return mi_h, mo_h, ref_h
