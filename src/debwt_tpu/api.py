@@ -66,7 +66,9 @@ def build(
     n_dev = len(jax.devices())
     # per-shard row bound for the dist tier (per-shard arrays are int32)
     per_shard = -(-coll.bwt_len // max(1, n_dev))
-    if n_dev > 1 and per_shard < _SINGLE_ROWS and coll.bwt_len < 2**32:
+    # the dist tier's bound is per-shard (split indices; int32 local
+    # positions), so only the per-shard row count gates the route
+    if n_dev > 1 and per_shard < _SINGLE_ROWS:
         _say(f"distributed over all {n_dev} local devices "
              f"(N={coll.bwt_len} exceeds the single-chip row bound)")
         from debwt_tpu.parallel import dist_build_bwt, make_mesh

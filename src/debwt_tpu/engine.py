@@ -212,41 +212,34 @@ def stage_graph(
     # text); non-main and bucket-padding rows carry KEY_MAX and sort to
     # the tail, so valid sorted rows occupy [0, n_real) and the sorted
     # row index IS the BWT coordinate.
-    is_last = jnp.concatenate([newseg[1:], jnp.ones(1, bool)])
-    # All per-segment facts are PRESENCE tests, so they reduce to
-    # per-row broadcast segment sums of indicator columns — computed
-    # with O(R) scans (cumsum / reverse-cummin carry tricks; the
-    # cumsums are monotone so plain cummin carries the nearest boundary
-    # value) instead of scatter-based segment_* ops, which serialize
-    # on TPU.
-    cols = jnp.stack(
-        [
-            (r_pred == 0) & is_node_row,
-            (r_pred == 1) & is_node_row,
-            (r_pred == 2) & is_node_row,
-            (r_pred == 3) & is_node_row,
-            r_head & is_node_row,
-            mo_ind,
-        ]
-    ).astype(I32)                      # (6, R): R minor => lane-major
-    S = jnp.cumsum(cols, axis=1)       # wide scan 1
-    S_excl = S - cols
+    # All per-segment facts are PRESENCE tests evaluated at the
+    # segment-start rows: "does pred class c / a head row / a
+    # multi-out indicator occur anywhere in my segment?". Each is one
+    # reverse-cummin scan (first occurrence index at-or-after every
+    # row, compared against the segment's last row), computed
+    # SEQUENTIALLY so at most a couple of R-sized temporaries are live
+    # — the previous (6, R) stacked-cumsum form allocated two 4 GB
+    # tuple temps at the 140 Mbp tier and OOM'd a 16 GB chip.
     BIG = jnp.iinfo(jnp.int32).max
-    seg_end = jax.lax.cummin(          # wide scan 2: segment-end sums,
-        jnp.where(is_last[None, :], S, BIG), axis=1, reverse=True
-    )                                  # broadcast back to every row
-    tot = seg_end - S_excl             # valid AT segment-start rows
-    in_d = (
-        (tot[0] > 0).astype(I32) + (tot[1] > 0).astype(I32)
-        + (tot[2] > 0).astype(I32) + (tot[3] > 0).astype(I32)
-    )
-    mo_seg = tot[5] > 0
-    mi_seg = (in_d >= 2) | (tot[4] > 0)
-    pred_sum = (
-        (tot[1] > 0).astype(I32)
-        + 2 * (tot[2] > 0).astype(I32)
-        + 3 * (tot[3] > 0).astype(I32)
-    )
+    idx = jnp.arange(R, dtype=I32)
+    ns_incl = jax.lax.cummin(jnp.where(newseg, idx, BIG), reverse=True)
+    # nearest start strictly after i -> my segment's last row
+    ns_after = jnp.concatenate([ns_incl[1:], jnp.full(1, BIG, I32)])
+    last_row = jnp.minimum(ns_after - 1, R - 1)
+
+    def _present(col):
+        nxt = jax.lax.cummin(jnp.where(col, idx, BIG), reverse=True)
+        return nxt <= last_row       # valid AT segment-start rows
+
+    in_d = jnp.zeros(R, I32)
+    pred_sum = jnp.zeros(R, I32)
+    for c in range(4):
+        p = _present((r_pred == c) & is_node_row).astype(I32)
+        in_d = in_d + p
+        if c:
+            pred_sum = pred_sum + c * p
+    mo_seg = _present(mo_ind)
+    mi_seg = (in_d >= 2) | _present(r_head & is_node_row)
     # only meaningful when in_d == 1; clamp to its 2-bit field (the sum
     # reaches 6 for multi-pred segments and would bleed into idx bits)
     pred_single = jnp.where(in_d == 1, pred_sum, 0)

@@ -71,12 +71,19 @@ class OocConfig:
                 disk tier); files are deleted as consumed, like the
                 reference's temp files (src/INandOut.c:915-918).
     sp_cap:     max SP-string length rankable on one device.
+    checkpoint: persist stage progress under spill_dir (manifest +
+                per-bucket outputs) so an interrupted run resumes at
+                the last completed bucket instead of restarting — the
+                resumable version of the reference's stage-file
+                discipline (SURVEY §5 checkpoint/resume). Requires
+                spill_dir.
     """
 
     chunk: int = 1 << 26
     n_buckets: int = 64
     spill_dir: str | None = None
     sp_cap: int = 1 << 28
+    checkpoint: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -114,21 +121,30 @@ def sample_splitters16(x2: np.ndarray, n: int, seed: int = 17,
 
 class _BucketStore:
     """Per-bucket row spill: host-DRAM lists, or append-only files
-    under spill_dir (one file per bucket per column)."""
+    under spill_dir (one file per bucket per column). `reopen=True`
+    attaches to a completed pass-A spill (checkpoint resume) instead
+    of truncating it."""
 
     COLS = (("hi", np.uint32), ("lo", np.uint32), ("k16", np.uint16),
             ("pos", np.int64))
 
-    def __init__(self, n_buckets: int, spill_dir: str | None):
+    def __init__(self, n_buckets: int, spill_dir: str | None,
+                 reopen: bool = False):
         self.n = n_buckets
         self.dir = spill_dir
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
-            self._fh = {
-                (b, c): open(os.path.join(spill_dir, f"bk{b}.{c}"), "wb")
-                for b in range(n_buckets) for c, _ in self.COLS
-            }
+            if reopen:
+                self._fh = {}
+            else:
+                self._fh = {
+                    (b, c): open(
+                        os.path.join(spill_dir, f"bk{b}.{c}"), "wb"
+                    )
+                    for b in range(n_buckets) for c, _ in self.COLS
+                }
         else:
+            assert not reopen
             self._mem = [
                 {c: [] for c, _ in self.COLS} for _ in range(n_buckets)
             ]
@@ -146,16 +162,20 @@ class _BucketStore:
             for c, dt in self.COLS:
                 self._mem[b][c].append(cols[c].astype(dt))
 
-    def load(self, b: int):
-        """Fetch and CONSUME bucket b's rows."""
+    def load(self, b: int, consume: bool = True):
+        """Fetch bucket b's rows; consume=True deletes them (pass
+        consume=False under checkpointing and call delete(b) after the
+        manifest records the bucket complete)."""
         if self.dir:
             out = {}
             for c, dt in self.COLS:
-                fh = self._fh[(b, c)]
-                fh.close()
-                path = fh.name
+                fh = self._fh.get((b, c))
+                if fh is not None:
+                    fh.close()
+                path = os.path.join(self.dir, f"bk{b}.{c}")
                 out[c] = np.fromfile(path, dtype=dt)
-                os.unlink(path)   # deleted as consumed
+                if consume:
+                    os.unlink(path)   # deleted as consumed
             return out["hi"], out["lo"], out["k16"], out["pos"]
         cols = self._mem[b]
         out = tuple(
@@ -164,6 +184,13 @@ class _BucketStore:
         )
         self._mem[b] = None   # release as consumed
         return out
+
+    def delete(self, b: int):
+        if self.dir:
+            for c, _ in self.COLS:
+                path = os.path.join(self.dir, f"bk{b}.{c}")
+                if os.path.exists(path):
+                    os.unlink(path)
 
     def close(self):
         if self.dir:
@@ -265,6 +292,51 @@ def _classify_bucket(r_hi, r_lo, r_k16, r_ord, cap: int):
     return fill6, mo_row, mi_row, seg_start, ord_s, bwt3, total
 
 
+# ---------------------------------------------------------------------------
+# checkpoint manifest (resume-by-stage, SURVEY §5)
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint(coll, m: int, nb: int, C: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.asarray(
+        [coll.bwt_len, coll.n_reads, m, nb, C], dtype=np.int64
+    ).tobytes())
+    h.update(coll.x2[:4096].tobytes())
+    h.update(coll.x2[-4096:].tobytes())
+    return h.hexdigest()
+
+
+def _manifest_path(d):
+    return os.path.join(d, "manifest.json")
+
+
+def _ckpt_load(d, fp):
+    import json
+
+    p = _manifest_path(d)
+    if not os.path.exists(p):
+        return None
+    try:
+        st = json.loads(open(p).read())
+    except (OSError, ValueError):
+        return None
+    if st.get("fingerprint") != fp or st.get("stage") == "done":
+        return None
+    return st
+
+
+def _ckpt_save(d, st):
+    import json
+
+    tmp = _manifest_path(d) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(st))
+    os.replace(tmp, _manifest_path(d))   # atomic: crash-safe manifest
+
+
 def blue_coordinates(b_base, b_pos, b_char, rank, sp_pos):
     """Final BWT coordinates of the case-3 (blue) entries: sort by
     (block base, SP-suffix rank, position) — position ascending for
@@ -314,15 +386,33 @@ def build_bwt_ooc(
 
     sp = build_special(coll, m)
     nb = ooc.n_buckets
-    splitters = sample_splitters16(coll.x2, nb)
+    C = min(ooc.chunk, _pow2(N))
+    n_chunks = -(-N // C)
+    ckpt = bool(ooc.checkpoint and ooc.spill_dir)
+    state = None
+    fp = None
+    if ckpt:
+        os.makedirs(ooc.spill_dir, exist_ok=True)
+        fp = _fingerprint(coll, m, nb, C)
+        state = _ckpt_load(ooc.spill_dir, fp)
+        if state is not None:
+            _say(f"resuming from checkpoint: stage {state['stage']}"
+                 + (f" bucket {state.get('next_bucket')}"
+                    if state["stage"] == "B" else ""))
+    if state is not None:
+        splitters = np.asarray(state["splitters"], dtype=np.uint16)
+    else:
+        splitters = sample_splitters16(coll.x2, nb)
     x2p = np.concatenate(
         [coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)]
     )
 
     # ---- pass A: keys on device, metadata + binning on host ----
-    C = min(ooc.chunk, _pow2(N))
-    n_chunks = -(-N // C)
-    store = _BucketStore(nb, ooc.spill_dir)
+    if state is not None:
+        store = _BucketStore(nb, ooc.spill_dir, reopen=True)
+        store.sizes = np.asarray(state["sizes"], dtype=np.int64)
+    else:
+        store = _BucketStore(nb, ooc.spill_dir)
     sep = coll.sep                         # int64, sorted, sep[-1] == N-1
     is_sep_prev = np.zeros(N, dtype=bool)  # position follows a separator
     is_sep_prev[0] = True
@@ -370,22 +460,30 @@ def build_bwt_ooc(
                 sl = order[s:e]
                 store.append(b, hi[sl], lo[sl], k16[sl], pos[sl])
 
-    for ci in range(n_chunks):
-        c0 = ci * C
-        C_real = min(C, N - c0)
-        buf = np.full(C + k, K.T, dtype=np.uint8)
-        take = min(C + k, x2p.shape[0] - c0)
-        buf[:take] = x2p[c0 : c0 + take]
-        kw = jnp.asarray(ops.pack_2bit_words_host(buf))
-        keys = _chunk_keys(kw, k, C)
+    if state is None:
+        for ci in range(n_chunks):
+            c0 = ci * C
+            C_real = min(C, N - c0)
+            buf = np.full(C + k, K.T, dtype=np.uint8)
+            take = min(C + k, x2p.shape[0] - c0)
+            buf[:take] = x2p[c0 : c0 + take]
+            kw = jnp.asarray(ops.pack_2bit_words_host(buf))
+            keys = _chunk_keys(kw, k, C)
+            if pending is not None:
+                _bin_rows(*pending)
+            pending = (c0, C_real, *keys)
         if pending is not None:
             _bin_rows(*pending)
-        pending = (c0, C_real, *keys)
-    if pending is not None:
-        _bin_rows(*pending)
-    store.close()
-    _say(f"pass A: {n_chunks} chunks of {C}, bucket rows "
-         f"max={int(store.sizes.max())} total={int(store.sizes.sum())}")
+        store.close()
+        _say(f"pass A: {n_chunks} chunks of {C}, bucket rows "
+             f"max={int(store.sizes.max())} total={int(store.sizes.sum())}")
+        if ckpt:
+            state = {
+                "fingerprint": fp, "stage": "A",
+                "sizes": store.sizes.tolist(),
+                "splitters": splitters.tolist(),
+            }
+            _ckpt_save(ooc.spill_dir, state)
 
     # special rows -> buckets (true suffix order preserved per bucket
     # because splitters partition the key space monotonically)
@@ -406,18 +504,59 @@ def build_bwt_ooc(
         f"raise OocConfig.n_buckets (key skew caveat in "
         f"sample_splitters16.__doc__)"
     )
-    bwt6 = np.zeros(N, dtype=np.uint8)
+    start_b = 0
     base = 0                      # int64 host coordinate — no 2^32 cap
-    sp_pos_parts = []             # SP event positions (int64)
-    blue_parts = []               # (base int64, pos int64, char u8)
+    if ckpt:
+        bwt_path = os.path.join(ooc.spill_dir, "bwt6.u8")
+        sp_path = os.path.join(ooc.spill_dir, "sp_pos.i64")
+        bl_paths = [os.path.join(ooc.spill_dir, f"blue.{c}")
+                    for c in ("base.i64", "pos.i64", "char.u8")]
+        resuming_b = (
+            state is not None and state["stage"] == "B"
+            and os.path.exists(bwt_path)
+        )
+        if resuming_b:
+            start_b = int(state["next_bucket"])
+            base = int(state["base"])
+            bwt6 = np.memmap(bwt_path, dtype=np.uint8, mode="r+",
+                             shape=(N,))
+            # drop any partial outputs from an interrupted bucket
+            with open(sp_path, "ab") as f:
+                f.truncate(int(state["sp_count"]) * 8)
+            for p, w in zip(bl_paths, (8, 8, 1)):
+                with open(p, "ab") as f:
+                    f.truncate(int(state["blue_count"]) * w)
+        else:
+            bwt6 = np.memmap(bwt_path, dtype=np.uint8, mode="w+",
+                             shape=(N,))
+            for p in [sp_path] + bl_paths:
+                open(p, "wb").close()
+        sp_f = open(sp_path, "ab")
+        bl_f = [open(p, "ab") for p in bl_paths]
+        sp_count = start_b and int(state["sp_count"]) or 0
+        blue_count = start_b and int(state["blue_count"]) or 0
+    else:
+        bwt6 = np.zeros(N, dtype=np.uint8)
+        sp_pos_parts = []             # SP event positions (int64)
+        blue_parts = []               # (base int64, pos int64, char u8)
     max_dev_rows = 0
-    for b in range(nb):
-        hi, lo, k16, pos = store.load(b)
+    for b in range(start_b, nb):
+        hi, lo, k16, pos = store.load(b, consume=not ckpt)
         nmain = hi.shape[0]
         smask = spec_dest == b
         nspec = int(smask.sum())
         n_rows = nmain + nspec
         if n_rows == 0:
+            if ckpt:
+                state = {
+                    "fingerprint": fp, "stage": "B", "next_bucket": b + 1,
+                    "base": int(base), "sp_count": sp_count,
+                    "blue_count": blue_count,
+                    "sizes": store.sizes.tolist(),
+                    "splitters": splitters.tolist(),
+                }
+                _ckpt_save(ooc.spill_dir, state)
+                store.delete(b)
             continue
         r_hi = np.full(cap, KEY_MAX, dtype=np.uint32)
         r_lo = np.full(cap, KEY_MAX, dtype=np.uint32)
@@ -447,22 +586,61 @@ def build_bwt_ooc(
         mo_h = np.asarray(jax.device_get(mo_row))[:total]
         mi_h = np.asarray(jax.device_get(mi_row))[:total]
         ord_h = np.asarray(jax.device_get(ord_s))[:total]
-        if mo_h.any():
-            sp_pos_parts.append(pos[ord_h[mo_h]])
+        b_sp = pos[ord_h[mo_h]] if mo_h.any() else None
+        b_blue = None
         if mi_h.any():
             seg_h = np.asarray(jax.device_get(seg_start))[:total]
             char_h = np.asarray(jax.device_get(bwt3))[:total]
             mrows = np.nonzero(mi_h)[0]
-            blue_parts.append((
+            b_blue = (
                 base + seg_h[mrows].astype(np.int64),
                 pos[ord_h[mrows]],
                 char_h[mrows],
-            ))
+            )
+        if ckpt:
+            if b_sp is not None:
+                sp_f.write(np.ascontiguousarray(b_sp).tobytes())
+                sp_count += b_sp.shape[0]
+            if b_blue is not None:
+                for f, arr in zip(bl_f, b_blue):
+                    f.write(np.ascontiguousarray(arr).tobytes())
+                blue_count += b_blue[0].shape[0]
+        else:
+            if b_sp is not None:
+                sp_pos_parts.append(b_sp)
+            if b_blue is not None:
+                blue_parts.append(b_blue)
         base += total
+        if ckpt:
+            sp_f.flush()
+            for f in bl_f:
+                f.flush()
+            bwt6.flush()
+            state = {
+                "fingerprint": fp, "stage": "B", "next_bucket": b + 1,
+                "base": int(base), "sp_count": sp_count,
+                "blue_count": blue_count,
+                "sizes": store.sizes.tolist(),
+                "splitters": splitters.tolist(),
+            }
+            _ckpt_save(ooc.spill_dir, state)
+            store.delete(b)   # safe only after the manifest bump
     assert base == N, (base, N)
     _say(f"pass B: {nb} buckets, device rows/bucket = {max_dev_rows}")
 
     # ---- SP string: events in text order, ranked on device ----
+    if ckpt:
+        sp_f.close()
+        for f in bl_f:
+            f.close()
+        sp_raw = np.fromfile(sp_path, dtype=np.int64)
+        sp_pos_parts = [sp_raw] if sp_raw.size else []
+        blue_arrs = (
+            np.fromfile(bl_paths[0], dtype=np.int64),
+            np.fromfile(bl_paths[1], dtype=np.int64),
+            np.fromfile(bl_paths[2], dtype=np.uint8),
+        )
+        blue_parts = [blue_arrs] if blue_arrs[0].size else []
     sp_pos = np.sort(np.concatenate(
         sp_pos_parts + [sp.spec_branch_pos.astype(np.int64)]
     )) if (sp_pos_parts or sp.spec_branch_pos.size) else np.empty(0, np.int64)
@@ -500,6 +678,9 @@ def build_bwt_ooc(
             bucket_cap=cap, chunk=C, n_chunks=n_chunks, sp_len=L,
             n_blue=sum(p[0].shape[0] for p in blue_parts),
         )
+    if ckpt:
+        bwt6.flush()
+        _ckpt_save(ooc.spill_dir, {"fingerprint": fp, "stage": "done"})
     (sharp,) = np.nonzero(bwt6 == K.SHARP)
     (dollar,) = np.nonzero(bwt6 == K.DOLLAR)
     assert dollar.shape[0] == 1, dollar

@@ -18,14 +18,22 @@ all_gather over the mesh axis, i.e. ICI on real slices):
       same slot structure (the response of the S1 exchange)
   S2  text-side classification: SP stream + blue entries; global SP
       indices by scanning per-chip SP counts
-  S2b the (tiny) SP string all_gathered; suffix ranks computed
-      replicated (sharded doubling is a later optimization)
+  S2b SP stream + blue messages routed to their owners
+  S2c the SP string re-blocked across the mesh and ranked SHARDED
+      (parallel/sprank.py sample-sort prefix tripling); blue entries
+      fetch ranks through a distributed echo lookup
   S3  blue entries routed to their node owners; per-owner ordering and
       segment assembly; segments gathered to host
 
 Static capacities for the exchanges are sized from the S0 histograms
 (power-of-two rounded) — the distributed analogue of the reference's
 bucket prefix-sums (src/mySort.c:98-110).
+
+Split-index discipline (the 30 Gbp tier): device arrays hold only
+shard-LOCAL int32 positions and device-local int32 BWT coordinates;
+the source shard of a routed row is its all_to_all slot row, and the
+int64 global segment bases exist only in the host stitch. The per-run
+bound is per-shard (N/n < 2^31), not global.
 """
 
 from __future__ import annotations
@@ -47,7 +55,7 @@ from debwt_tpu.bluesort import sp_suffix_ranks
 I32 = jnp.int32
 U32 = jnp.uint32
 KEY_MAX = jnp.uint32(0xFFFFFFFF)
-INV32 = jnp.uint32(0xFFFFFFFF)   # invalid global position/coordinate
+INV32 = jnp.uint32(0xFFFFFFFF)   # invalid node reference
 
 shard_map = jax.shard_map
 
@@ -141,6 +149,7 @@ def _first_char(e_hi, e_lo, k: int):
 
 from debwt_tpu.parallel.collectives import (
     a2a as _a2a,
+    exclusive_scan_i32,
     exclusive_scan_over_devices as _exclusive_scan_over_devices,
     pack_by_dest as _pack_by_dest,
 )
@@ -160,27 +169,33 @@ def dist_build_bwt(
     n = mesh.devices.size
     N = coll.bwt_len
     n_reads = coll.n_reads
-    # Global positions/coordinates are uint32 device-side: the
-    # distributed tier covers collections < 2^32 chars (~4.2 Gbp,
-    # including GRCh38 at 3.1 Gbp). The 30 Gbp tier needs
-    # (shard-id, local) index pairs — see docs/ROADMAP.md.
-    if N >= 2**32 - (m + K.TAIL_PAD):
+    Ns = -(-N // n)
+    # Split-index discipline (the 30 Gbp tier): device arrays only ever
+    # hold SHARD-LOCAL int32 positions/coordinates — the source shard
+    # of a routed row is its all_to_all slot row, and per-device BWT
+    # segment bases are int64 on the host. The only size bound is the
+    # per-shard one (the reference's design cap is ~30 Gbp,
+    # src/LFsearch.c:56 — that is 14+ devices here).
+    HALO = m + K.TAIL_PAD
+    if Ns + HALO >= 2**31:
         raise NotImplementedError(
-            "distributed u32 tier: collection must be < 2^32 chars; "
-            "see docs/ROADMAP.md (split indices)"
+            f"per-shard text of {Ns} chars exceeds int32; use more "
+            f"devices (N/n must stay below 2^31)"
         )
     sp = build_special(coll, m)
-
-    Ns = -(-N // n)
-    HALO = m + K.TAIL_PAD
     x2_full = np.concatenate(
         [coll.x2, np.full(n * Ns - N + HALO, K.T, dtype=np.uint8)]
     )
     x2_sh = np.stack([x2_full[r * Ns : r * Ns + Ns + HALO] for r in range(n)])
-    # distances (padding positions get -1: never main, never special)
+    # distances to the next separator, clamped to m+1 (only the
+    # {==0, ==k, >=k, >=m} distinctions are consumed; unclamped values
+    # overflow int32 when one read exceeds 2^31 chars); padding
+    # positions get -1: never main, never special
     nxt = np.searchsorted(coll.sep, np.arange(N))
     dist_full = np.full(n * Ns, -1, dtype=np.int32)
-    dist_full[:N] = (coll.sep[nxt] - np.arange(N)).astype(np.int32)
+    dist_full[:N] = np.minimum(
+        coll.sep[nxt] - np.arange(N), m + 1
+    ).astype(np.int32)
     dist_sh = dist_full.reshape(n, Ns)
     prev_char = np.zeros(n, dtype=np.uint8)
     prev_is_sep = np.zeros(n, dtype=bool)
@@ -255,15 +270,14 @@ def dist_build_bwt(
         r = jax.lax.axis_index("d")
         e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
         Ns_l = dist.shape[0]
-        # u32 global positions (the 3-4 Gbp tier exceeds int32)
-        gpos = r.astype(U32) * jnp.uint32(Ns_l) + jnp.arange(
-            Ns_l, dtype=U32
-        )
+        # shard-LOCAL int32 positions (split-index discipline: the
+        # source shard of a routed row is its all_to_all slot row)
+        lpos = jnp.arange(Ns_l, dtype=I32)
         # prefix-routed exchange (carry position)
         d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16)
         ph, pl, ppos = _pack_by_dest(
             d1, valid, cap_e, n,
-            (e_hi, KEY_MAX), (e_lo, KEY_MAX), (gpos, INV32),
+            (e_hi, KEY_MAX), (e_lo, KEY_MAX), (lpos, jnp.int32(-1)),
         )
         ph, pl, ppos = _a2a(ph), _a2a(pl), _a2a(ppos)
         # keep slot structure for the response; also build sorted copy
@@ -371,17 +385,18 @@ def dist_build_bwt(
         u2_hi, u2_lo, is_spec_s, size_s, src_s = jax.lax.sort(
             (u2_hi, u2_lo, is_spec, size, src), num_keys=3, is_stable=True
         )
+        # coordinates are LOCAL to this device's BWT segment (int32);
+        # the int64 global segment bases live on the host only
         local_total = jnp.sum(size_s)
-        base, _grand = _exclusive_scan_over_devices(local_total)
-        start = ops.exclusive_cumsum(size_s).astype(U32) + base
+        start = ops.exclusive_cumsum(size_s)
         node_sel = src_s < cap_n
-        node_start = jnp.zeros(cap_n, U32).at[
+        node_start = jnp.zeros(cap_n, I32).at[
             jnp.where(node_sel, src_s, cap_n)
         ].set(start, mode="drop")
-        spec_bwtpos = jnp.full(n_spec, INV32, U32).at[
+        spec_bwtpos = jnp.full(n_spec, -1, I32).at[
             jnp.where(node_sel, n_spec, src_s - cap_n)
         ].set(start, mode="drop")
-        spec_bwtpos = jnp.where(sown, spec_bwtpos, INV32)
+        spec_bwtpos = jnp.where(sown, spec_bwtpos, -1)
 
         # ---- flag responses through the original slot structure ----
         # slot entries are EDGE keys; node key = edge >> 2
@@ -425,9 +440,10 @@ def dist_build_bwt(
 
     # ---------------- S2: text-side classification ----------------
     spec_bwtpos_h = _fetch(spec_bwtpos)
-    # owners hold the coordinate; non-owners hold INV32 (u32 max)
-    spec_bwtpos_comb = spec_bwtpos_h.min(axis=0)
-    assert (spec_bwtpos_comb != np.uint32(0xFFFFFFFF)).all()
+    # owners hold the local coordinate; non-owners hold -1. Every
+    # special must be owned by exactly one device.
+    spec_owned_h = spec_bwtpos_h >= 0
+    assert (spec_owned_h.sum(axis=0) == 1).all()
 
     tail_mi, tail_mo, tail_ref = tflags
     # map tail positions -> per-shard arrays
@@ -451,13 +467,11 @@ def dist_build_bwt(
         x2, dist, sbm = x2[0], dist[0], sbm[0]
         mi_b, mo_b, ref_b, pos_b = mi_b[0], mo_b[0], ref_b[0], pos_b[0]
         t_mi, t_ref = t_mi[0], t_ref[0]
-        r = jax.lax.axis_index("d")
         Ns_l = dist.shape[0]
-        okp = pos_b.reshape(-1) != INV32
-        local = (
-            pos_b.reshape(-1) - r.astype(U32) * jnp.uint32(Ns_l)
-        ).astype(I32)
-        tgt = jnp.where(okp, local, Ns_l)
+        # positions echo back shard-local (the echo lands on the shard
+        # that sent them, so no rebasing is needed)
+        local = pos_b.reshape(-1)
+        tgt = jnp.where(local >= 0, local, Ns_l)
         mi_pos = jnp.zeros(Ns_l, bool).at[tgt].set(
             mi_b.reshape(-1), mode="drop"
         )
@@ -494,7 +508,9 @@ def dist_build_bwt(
     L_total = int(l_sp_h.sum())
 
     # ---------------- S2b: SP stream + blue messages ----------------
-    dollar_sp_pos = N - 1 - k
+    # the '$' tail-window position as a (shard, local) pair
+    dollar_shard = (N - 1 - k) // Ns
+    dollar_local = (N - 1 - k) % Ns
 
     @functools.partial(jax.jit, static_argnames=())
     @functools.partial(
@@ -510,15 +526,16 @@ def dist_build_bwt(
         pc, ps = pc[0], ps[0]
         r = jax.lax.axis_index("d")
         Ns_l = dist.shape[0]
-        sp_base, _L = _exclusive_scan_over_devices(l_sp[0])
+        sp_base, _L = exclusive_scan_i32(l_sp[0])
         (spi,) = jnp.nonzero(is_sp, size=cap_sp, fill_value=Ns_l)
         spi = spi.astype(I32)
         at = jnp.minimum(spi + k, x2.shape[0] - 1)
         base_c = x2[at].astype(jnp.uint8)
         d_at = dist[jnp.minimum(spi, Ns_l - 1)]
-        gpos = r.astype(U32) * jnp.uint32(Ns_l) + spi.astype(U32)
         is_sepc = d_at == k
-        is_dollar = is_sepc & (gpos == jnp.uint32(dollar_sp_pos))
+        # the '$' tail window identified by (shard, local) — global
+        # positions never materialize on device
+        is_dollar = is_sepc & (r == dollar_shard) & (spi == dollar_local)
         sp6 = jnp.where(
             is_sepc, jnp.where(is_dollar, 5, 4), base_c
         ).astype(jnp.uint8)
@@ -528,16 +545,15 @@ def dist_build_bwt(
         bli = bli.astype(I32)
         bval = jnp.arange(cap_blue) < jnp.sum(is_blue.astype(I32))
         # spidx: local searchsorted + base (next shard's first event if
-        # past the local tail)
+        # past the local tail); int32 — L_total < 2^31 asserted below
         sidx = jnp.searchsorted(spi[: cap_sp], bli, side="left").astype(I32)
-        sidx = jnp.minimum(sidx, l_sp[0]).astype(U32) + sp_base
+        sidx = jnp.minimum(sidx, l_sp[0]) + sp_base
         ref = ref_pos[jnp.minimum(bli, Ns_l - 1)]
         prev = jnp.maximum(bli - 1, 0)
         pchar = jnp.where(bli == 0, pc, x2[prev]).astype(jnp.uint8)
         prev_sep = jnp.where(bli == 0, ps, dist[prev] == 0)
-        gbl = r.astype(U32) * jnp.uint32(Ns_l) + bli.astype(U32)
         char6 = jnp.where(
-            gbl == jnp.uint32(0),
+            (r == 0) & (bli == 0),
             jnp.uint8(5),
             jnp.where(prev_sep, jnp.uint8(4), pchar),
         )
@@ -545,7 +561,7 @@ def dist_build_bwt(
         owner = jnp.where(bval, (ref % n).astype(I32), n)
         b_ref, b_sidx, b_char = _pack_by_dest(
             owner, bval, cap_blue, n,
-            (ref, INV32), (sidx, jnp.uint32(0)),
+            (ref, INV32), (sidx, jnp.int32(0)),
             (char6, jnp.uint8(0)),
         )
         b_ref = _a2a(b_ref)
@@ -575,9 +591,9 @@ def dist_build_bwt(
     def s2c(sp6, l_sp):
         sp6 = sp6[0]
         r = jax.lax.axis_index("d")
-        sp_base, _ = _exclusive_scan_over_devices(l_sp[0])
+        sp_base, _ = exclusive_scan_i32(l_sp[0])
         j = jnp.arange(cap_sp, dtype=I32)
-        gidx = sp_base.astype(I32) + j
+        gidx = sp_base + j
         val = j < l_sp[0]
         dest = jnp.where(val, gidx // Pb, n)
         capc = min(Pb, cap_sp)
@@ -650,11 +666,14 @@ def dist_build_bwt(
         b_rank_d = dev(b_rank_h.reshape(n, cap_q))
 
     # ---------------- S3: order + assemble segments ----------------
-    seg_sizes_h = None
-    # per-device segment size = sum of its unit sizes
+    # per-device segment size = sum of its unit sizes; the int64
+    # segment bases exist only here (the host stitch), so BWT
+    # coordinates past 2^32 never touch a device
     cnt_h = _fetch(cnt)
-    spec_owned = spec_bwtpos_h != np.uint32(0xFFFFFFFF)
-    seg_sizes = cnt_h.sum(axis=1) + spec_owned.sum(axis=1)
+    seg_sizes = (
+        cnt_h.sum(axis=1, dtype=np.int64)
+        + spec_owned_h.sum(axis=1, dtype=np.int64)
+    )
     cap_seg = _pow2(max(1, int(seg_sizes.max())))
 
     spec_char_rep = dev(sp.spec_bwt6, rep)
@@ -679,10 +698,9 @@ def dist_build_bwt(
             b_char[0].reshape(-1),
         )
         local_total = jnp.sum(cnt) + jnp.sum(
-            (spec_bwtpos != INV32).astype(I32)
+            (spec_bwtpos >= 0).astype(I32)
         )
-        base, _ = _exclusive_scan_over_devices(local_total)
-        # blue ordering
+        # blue ordering (coordinates are all device-local int32)
         val = b_ref != INV32
         nid = jnp.where(val, (b_ref // n).astype(I32), cap_n)
         nid_s, _, char_s = jax.lax.sort(
@@ -693,18 +711,14 @@ def dist_build_bwt(
         first = jnp.ones(Bl, bool).at[1:].set(nid_s[1:] != nid_s[:-1])
         seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
         within = idx - seg_start
-        ns_ext = jnp.concatenate([node_start, jnp.full(1, INV32, U32)])
-        bpos = (
-            ns_ext[jnp.minimum(nid_s, cap_n)] - base
-        ).astype(I32) + within
+        ns_ext = jnp.concatenate([node_start, jnp.full(1, -1, I32)])
+        bpos = ns_ext[jnp.minimum(nid_s, cap_n)] + within
         # assemble
         seg = jnp.zeros(cap_seg, jnp.uint8)
         case2_size = jnp.where(multi_in, 0, cnt)
         fill_char = jnp.where(multi_in, jnp.uint8(0), pred)
         run_char = ops.repeat_fill(fill_char, case2_size, cap_seg)
-        run_start = ops.repeat_fill(
-            (node_start - base).astype(I32), case2_size, cap_seg
-        )
+        run_start = ops.repeat_fill(node_start, case2_size, cap_seg)
         csum = jnp.cumsum(case2_size)
         idx2 = jnp.arange(cap_seg, dtype=I32)
         segid = jnp.searchsorted(csum, idx2, side="right").astype(I32)
@@ -716,11 +730,7 @@ def dist_build_bwt(
         seg = seg.at[jnp.where(c2ok, c2idx, cap_seg)].set(
             run_char, mode="drop"
         )
-        sbp = jnp.where(
-            spec_bwtpos != INV32,
-            (spec_bwtpos - base).astype(I32),
-            cap_seg,
-        )
+        sbp = jnp.where(spec_bwtpos >= 0, spec_bwtpos, cap_seg)
         seg = seg.at[sbp].set(spec_char, mode="drop")
         seg = seg.at[jnp.where(nid_s < cap_n, bpos, cap_seg)].set(
             char_s.astype(jnp.uint8), mode="drop"

@@ -118,3 +118,93 @@ def test_api_routes_to_ooc(rng, monkeypatch):
     res = api.build(coll, PipelineConfig(m=16))
     want = golden_bwt(coll).bwt6
     assert (res.bwt6 == want).all()
+
+
+def test_checkpoint_resume_after_pass_a(rng, tmp_path, monkeypatch):
+    """Interrupt after pass A; resume skips pass A entirely and the
+    result is byte-identical."""
+    import debwt_tpu.oocore as oc
+
+    reads = random_reads(rng, 8, lo=50, hi=180)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=20)
+    ooc = OocConfig(chunk=256, n_buckets=8,
+                    spill_dir=str(tmp_path / "ck"), checkpoint=True)
+
+    # interrupt: first _classify_bucket call raises (pass A completed)
+    real = oc._classify_bucket
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(oc, "_classify_bucket", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_bwt_ooc(coll, config, ooc)
+    monkeypatch.setattr(oc, "_classify_bucket", real)
+
+    # resume: pass A must not re-run (count _chunk_keys dispatches)
+    a_calls = {"n": 0}
+    real_keys = oc._chunk_keys
+
+    def counting_keys(*a, **k):
+        a_calls["n"] += 1
+        return real_keys(*a, **k)
+
+    monkeypatch.setattr(oc, "_chunk_keys", counting_keys)
+    res = build_bwt_ooc(coll, config, ooc)
+    assert a_calls["n"] == 0, "pass A re-ran despite checkpoint"
+    want = golden_bwt(coll)
+    assert (res.bwt6 == want.bwt6).all()
+    assert res.dollar_pos == want.dollar_pos
+
+
+def test_checkpoint_resume_mid_pass_b(rng, tmp_path, monkeypatch):
+    """Crash midway through pass B; resume continues at the next
+    bucket, byte-identical, without redoing completed buckets."""
+    import debwt_tpu.oocore as oc
+
+    reads = random_reads(rng, 10, lo=50, hi=180)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=16)
+    ooc = OocConfig(chunk=256, n_buckets=8,
+                    spill_dir=str(tmp_path / "ck"), checkpoint=True)
+
+    real = oc._classify_bucket
+    calls = {"n": 0}
+
+    def crash_on_4th(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(oc, "_classify_bucket", crash_on_4th)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_bwt_ooc(coll, config, ooc)
+
+    resumed = {"n": 0}
+
+    def counting(*a, **k):
+        resumed["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(oc, "_classify_bucket", counting)
+    res = build_bwt_ooc(coll, config, ooc)
+    # only the crashed bucket and the ones after it re-run
+    assert resumed["n"] <= 8 - 3 + 1
+    want = golden_bwt(coll)
+    assert (res.bwt6 == want.bwt6).all()
+
+
+def test_checkpoint_done_runs_fresh(rng, tmp_path):
+    """A completed manifest does not poison the next run."""
+    reads = random_reads(rng, 5, lo=40, hi=120)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=16)
+    ooc = OocConfig(chunk=128, n_buckets=4,
+                    spill_dir=str(tmp_path / "ck"), checkpoint=True)
+    a = build_bwt_ooc(coll, config, ooc)
+    b = build_bwt_ooc(coll, config, ooc)
+    assert (a.bwt6 == b.bwt6).all()

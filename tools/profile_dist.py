@@ -96,6 +96,12 @@ def main():
             f"{sum(rounds):6.2f}s | other {dt-sum(fetches)-sum(rounds):6.2f}s",
             file=sys.stderr,
         )
+        if it == 2:
+            # fetch i waits for everything dispatched since fetch i-1,
+            # so the sequence localizes stage cost
+            print("  fetch sequence: "
+                  + " ".join(f"{d:.2f}" for k, d in marks if k == "fetch"),
+                  file=sys.stderr)
     print(f"Mbp/s (last run): {coll.bwt_len/1e6/dt:.2f}", file=sys.stderr)
 
 
