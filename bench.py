@@ -88,43 +88,24 @@ def synth_reads(mbp: float, seed: int = 0, n_genomes: int = 4,
 
 
 def measure_reference(reads, m=32):
-    """Wall-clock of the reference binary's pipeline stages (excluding
-    the counting script, which we replace; its own mySort text re-parse
-    IS included since that's part of its pipeline)."""
+    """Wall-clock of the reference binary's pipeline stages, read from
+    the binary's OWN per-stage reports (src/main.c prints one line per
+    stage) — this excludes only the counting script (which we replace
+    with an exact Python counter), and is free of that counter's
+    run-to-run variance. mySort's text-dump re-parse IS included since
+    it's part of the reference's pipeline."""
     import tempfile
 
     from oracle.harness import run_reference
 
-    t0 = time.time()
     with tempfile.TemporaryDirectory() as td:
-        # count the k-mer counting script separately
-        import pickle
-        from oracle import harness
-
-        # run once; measure total and subtract the counter step by
-        # timing the counter alone
         n_bp = sum(len(r) for r in reads)
-        t_ref0 = time.time()
-        obj, sharp, dollar = run_reference(
+        obj, sharp, dollar, t_stages = run_reference(
             reads, td, m=m, threads=8,
-            timeout=max(600, int(n_bp / 1e6 * 60)),  # ~0.13 Mbp/s observed
+            timeout=max(600, int(n_bp / 1e6 * 60)),
+            return_times=True,
         )
-        t_total = time.time() - t_ref0
-    # time the python counter alone on the same input, to subtract it
-    with tempfile.TemporaryDirectory() as td2:
-        fa = pathlib.Path(td2) / "in.fa"
-        counter = pathlib.Path(td2) / "counter.py"
-        from oracle.harness import _COUNTER_SNIPPET, write_fasta
-
-        write_fasta(fa, reads)
-        counter.write_text(_COUNTER_SNIPPET)
-        t_c0 = time.time()
-        subprocess.run(
-            [sys.executable, str(counter), str(fa), str(m), f"{td2}/out"],
-            check=True,
-        )
-        t_counter = time.time() - t_c0
-    return max(0.05, t_total - t_counter), obj, sharp, dollar
+    return max(0.05, t_stages), obj, sharp, dollar
 
 
 def main():

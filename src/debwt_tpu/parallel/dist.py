@@ -64,14 +64,18 @@ DEBUG = None
 
 
 def _fetch(x):
-    """Host copy of a P('d')-sharded array — device_get single-process,
-    process_allgather when the mesh spans hosts (each host sees only
-    its addressable shards; the gather rides DCN)."""
+    """Host copy of P('d')-sharded arrays (single array or pytree) —
+    device_get single-process, process_allgather when the mesh spans
+    hosts. Batch related arrays into ONE call: each call waits for all
+    preceding dispatches, and on a tunneled backend that sync costs
+    seconds (tools/profile_dist.py)."""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return np.asarray(jax.device_get(x))
+        out = multihost_utils.process_allgather(x, tiled=True)
+    else:
+        out = jax.device_get(x)
+    return jax.tree.map(np.asarray, out)
 
 
 def _put(a, sharding):
@@ -252,7 +256,8 @@ def dist_build_bwt(
         return h1[None], h2[None]
 
     h1, h2 = s0(x2_d, dist_d)
-    cap_e = _pow2(max(1, int(_fetch(h1).max()), int(_fetch(h2).max())))
+    h12 = _fetch((h1, h2))
+    cap_e = _pow2(max(1, int(h12[0].max()), int(h12[1].max())))
     cap_n = n * cap_e + n_reads + 1
 
     # ---------------- S1: exchange + node tables + coordinates ----------------
@@ -292,9 +297,25 @@ def dist_build_bwt(
             (sk_hi, KEY_MAX), (sk_lo, KEY_MAX), (fc, jnp.int32(4)),
         )
         qh, ql, qc = _a2a(qh), _a2a(ql), _a2a(qc)
-        sh2, sl2, sc2 = ops.sort_by_key2(
-            qh.reshape(-1), ql.reshape(-1), qc.reshape(-1)
+        # 3-key sort so chars are ASCENDING within each suffix-key
+        # segment: distinct counts and the min (= first) char become
+        # boundary scans — no scatter-add segment ops, which serialize
+        # on TPU (same rationale as engine.stage_graph)
+        sh2, sl2, sc2 = jax.lax.sort(
+            (qh.reshape(-1), ql.reshape(-1), qc.reshape(-1)), num_keys=3
         )
+
+        def seg_sum_at_start(ind, is_start):
+            """Per-segment sum of `ind`, valid at segment-START rows
+            (cumsum + reverse-cummin boundary broadcast; the cumsum is
+            monotone so cummin carries the segment-end value)."""
+            BIGI = jnp.iinfo(jnp.int32).max
+            S = jnp.cumsum(ind)
+            is_last = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+            seg_end = jax.lax.cummin(
+                jnp.where(is_last, S, BIGI), reverse=True
+            )
+            return seg_end - (S - ind)
 
         # ---- local node table over owned key range ----
         E_l = sh1.shape[0]
@@ -306,27 +327,38 @@ def dist_build_bwt(
         p_lo = jnp.where(is_pad1, KEY_MAX, p_lo)
         pb = ops.run_boundaries(p_hi, p_lo)
         pseg = ops.segment_ids(pb)
-        occ_cnt = jax.ops.segment_sum(
-            jnp.where(is_pad1, 0, 1).astype(I32), pseg, num_segments=E_l
-        )
+        # rows within a prefix segment are sorted by full edge key, so
+        # the last char (low 2 key bits) ascends within the segment
         last_char = (sl1 & 3).astype(I32)
-        ext_distinct = ops.distinct_count_per_segment(
-            pseg, jnp.where(is_pad1, 5, last_char), E_l
+        chg1 = pb | jnp.concatenate(
+            [jnp.zeros(1, bool), last_char[1:] != last_char[:-1]]
         )
-        pk_hi = jnp.full(E_l, KEY_MAX).at[pseg].set(p_hi)
-        pk_lo = jnp.full(E_l, KEY_MAX).at[pseg].set(p_lo)
+        occ_sz = seg_sum_at_start((~is_pad1).astype(I32), pb)
+        ext_sz = seg_sum_at_start(chg1.astype(I32), pb)
+        # compact per-segment values at boundary rows (unique indices)
+        tgt1 = jnp.where(pb, pseg, E_l)
+        pk_hi = jnp.full(E_l, KEY_MAX).at[tgt1].set(p_hi, mode="drop")
+        pk_lo = jnp.full(E_l, KEY_MAX).at[tgt1].set(p_lo, mode="drop")
+        occ_cnt = jnp.zeros(E_l, I32).at[tgt1].set(occ_sz, mode="drop")
+        ext_distinct = jnp.zeros(E_l, I32).at[tgt1].set(
+            ext_sz, mode="drop"
+        )
 
         is_pad2 = (sh2 == KEY_MAX) & (sl2 == KEY_MAX)
         sb_ = ops.run_boundaries(sh2, sl2)
         sseg = ops.segment_ids(sb_)
-        in_distinct = ops.distinct_count_per_segment(
-            sseg, jnp.where(is_pad2, 5, sc2), E_l
+        chg2 = sb_ | jnp.concatenate(
+            [jnp.zeros(1, bool), sc2[1:] != sc2[:-1]]
         )
-        pred_of_seg = jax.ops.segment_min(
-            jnp.where(is_pad2, 4, sc2), sseg, num_segments=E_l
+        in_sz = seg_sum_at_start(chg2.astype(I32), sb_)
+        tgt2 = jnp.where(sb_, sseg, E_l)
+        in_distinct = jnp.zeros(E_l, I32).at[tgt2].set(in_sz, mode="drop")
+        # chars ascend within the segment: min = the boundary row's char
+        pred_of_seg = jnp.zeros(E_l, I32).at[tgt2].set(
+            jnp.where(is_pad2, 4, sc2), mode="drop"
         )
-        sk2_hi = jnp.full(E_l, KEY_MAX).at[sseg].set(sh2)
-        sk2_lo = jnp.full(E_l, KEY_MAX).at[sseg].set(sl2)
+        sk2_hi = jnp.full(E_l, KEY_MAX).at[tgt2].set(sh2, mode="drop")
+        sk2_lo = jnp.full(E_l, KEY_MAX).at[tgt2].set(sl2, mode="drop")
 
         # owned tails/heads
         town = _dest_split(th, tl, 2 * k, splitters16) == r
@@ -340,8 +372,9 @@ def dist_build_bwt(
         u_hi, u_lo = ops.sort_by_key2(u_hi, u_lo)
         ub = ops.run_boundaries(u_hi, u_lo)
         useg = ops.segment_ids(ub)
-        node_hi = jnp.full(cap_n, KEY_MAX).at[useg].set(u_hi, mode="drop")
-        node_lo = jnp.full(cap_n, KEY_MAX).at[useg].set(u_lo, mode="drop")
+        tgt_u = jnp.where(ub, useg, cap_n)
+        node_hi = jnp.full(cap_n, KEY_MAX).at[tgt_u].set(u_hi, mode="drop")
+        node_lo = jnp.full(cap_n, KEY_MAX).at[tgt_u].set(u_lo, mode="drop")
         node_valid = ~((node_hi == KEY_MAX) & (node_lo == KEY_MAX))
 
         def join(a_hi, a_lo, values, default):
@@ -439,7 +472,7 @@ def dist_build_bwt(
     )
 
     # ---------------- S2: text-side classification ----------------
-    spec_bwtpos_h = _fetch(spec_bwtpos)
+    spec_bwtpos_h, cnt_h = _fetch((spec_bwtpos, cnt))
     # owners hold the local coordinate; non-owners hold -1. Every
     # special must be owned by exactly one device.
     spec_owned_h = spec_bwtpos_h >= 0
@@ -501,8 +534,7 @@ def dist_build_bwt(
         x2_d, dist_d, sb_d, mi_b, mo_b, ref_b, pos_b,
         dev(tail_flag_mi.reshape(n, Ns)), dev(tail_ref_full.reshape(n, Ns)),
     )
-    l_sp_h = _fetch(l_sp_d)
-    l_blue_h = _fetch(l_blue_d)
+    l_sp_h, l_blue_h = _fetch((l_sp_d, l_blue_d))
     cap_sp = _pow2(max(1, int(l_sp_h.max())))
     cap_blue = _pow2(max(1, int(l_blue_h.max())))
     L_total = int(l_sp_h.sum())
@@ -669,7 +701,6 @@ def dist_build_bwt(
     # per-device segment size = sum of its unit sizes; the int64
     # segment bases exist only here (the host stitch), so BWT
     # coordinates past 2^32 never touch a device
-    cnt_h = _fetch(cnt)
     seg_sizes = (
         cnt_h.sum(axis=1, dtype=np.int64)
         + spec_owned_h.sum(axis=1, dtype=np.int64)
@@ -758,8 +789,8 @@ def dist_build_bwt(
         node_start, cnt, multi_in, pred, spec_bwtpos,
         b_ref_d, b_rank_d, b_char_d, spec_char_rep,
     )
-    seg_h = _fetch(seg_d)
-    totals = _fetch(seg_total_d).reshape(-1)
+    seg_h, totals = _fetch((seg_d, seg_total_d))
+    totals = totals.reshape(-1)
     assert (totals == seg_sizes).all()
     bwt6 = np.concatenate([seg_h[r, : totals[r]] for r in range(n)])
     assert bwt6.shape[0] == N
@@ -802,7 +833,8 @@ def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
         node_hi, node_lo, multi_in, multi_out,
         jnp.asarray(q_hi), jnp.asarray(q_lo),
     )
-    mi_h = _fetch(mi_q).any(axis=0)
-    mo_h = _fetch(mo_q).any(axis=0)
-    ref_h = _fetch(ref_q).min(axis=0)  # miss = INV32
+    mi_a, mo_a, ref_a = _fetch((mi_q, mo_q, ref_q))
+    mi_h = mi_a.any(axis=0)
+    mo_h = mo_a.any(axis=0)
+    ref_h = ref_a.min(axis=0)  # miss = INV32
     return mi_h, mo_h, ref_h

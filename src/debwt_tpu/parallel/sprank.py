@@ -225,9 +225,10 @@ def sp_ranks_sharded(mesh: Mesh, sp6_blk, L: int, slack: int = 2):
     while h < M:
         round_fn = _make_round(mesh, n, Pb, h, n_samp, cap_r)
         rank, over, done = round_fn(rank, L_j)
-        if bool(np.asarray(jax.device_get(over))):
+        over_h, done_h = jax.device_get((over, done))   # one sync/round
+        if bool(np.asarray(over_h)):
             return None
-        if bool(np.asarray(jax.device_get(done))):
+        if bool(np.asarray(done_h)):
             break
         h *= 3
     return rank

@@ -90,7 +90,32 @@ def write_fasta(path, reads, width=70):
                 f.write(r[j : j + width] + "\n")
 
 
-def run_reference(reads, workdir, m=32, threads=1, timeout=600):
+def parse_stage_times(stdout: str) -> float:
+    """Sum of the binary's own per-stage wall times (src/main.c prints
+    one line per stage) — the reference's post-counting pipeline time,
+    free of the fake-Jellyfish counter's run-to-run variance."""
+    import re
+
+    pats = [
+        r"read kmercounting results time \(txt transfer\): ([\d.]+)",
+        r"distributing time = ([\d.]+)",
+        r"sort time is ([\d.]+)",
+        r"collect#\$ and getKmer time is ([\d.]+)",
+        r"generate blocks time is ([\d.]+)",
+        r"generate SP time is ([\d.]+)",
+        r"Sort blue time is ([\d.]+)",
+        r"merge case time: ([\d.]+)",
+    ]
+    total = 0.0
+    for pat in pats:
+        mt = re.search(pat, stdout)
+        if mt:
+            total += float(mt.group(1))
+    return total
+
+
+def run_reference(reads, workdir, m=32, threads=1, timeout=600,
+                  return_times=False):
     # threads=1 by default: the reference's multi-thread SP stitch reads
     # out of bounds (multiCatSP, src/generateSP.c:356 — tempSP[num][-1])
     # whenever a thread segment has fewer than 32 SP events, corrupting
@@ -131,4 +156,7 @@ def run_reference(reads, workdir, m=32, threads=1, timeout=600):
     obj_bytes = obj.read_bytes()
     sharp = np.frombuffer((workdir / "out.bwt.#").read_bytes(), dtype="<u8")
     dollar = np.frombuffer((workdir / "out.bwt.$").read_bytes(), dtype="<u8")
+    if return_times:
+        return (obj_bytes, sharp.astype(np.int64), int(dollar[0]),
+                parse_stage_times(res.stdout + res.stderr))
     return obj_bytes, sharp.astype(np.int64), int(dollar[0])
