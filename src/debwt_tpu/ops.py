@@ -13,6 +13,7 @@ Conventions:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +35,24 @@ def window_keys(x2: jnp.ndarray, w: int):
     (the reference extracts windows per-position from packed u64 words,
     src/collect#$.c:243-251; on TPU contiguous shifted slices beat
     per-position word gathers).
+
+    On TPU backends the same doubling runs as a Pallas kernel
+    (kernels/window_keys.py) that keeps every intermediate in VMEM —
+    one HBM pass instead of one per doubling level. DEBWT_NO_PALLAS=1
+    forces this XLA fallback.
     """
     P = x2.shape[0]
     n_out = P - w + 1
     assert 1 <= w <= 32, w
+    if (
+        w >= 2
+        and n_out >= 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("DEBWT_NO_PALLAS") != "1"
+    ):
+        from debwt_tpu.kernels.window_keys import window_keys_pallas
+
+        return window_keys_pallas(x2, w, n_out)
     d = {1: x2.astype(U32)}
     p = 1
     while 2 * p <= min(w, 16):

@@ -1,0 +1,49 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The window-key kernel must agree exactly with the XLA fallback
+(ops.window_keys) — the engine's byte-identical oracle tests then pin
+the hardware lowering on TPU runs (DEBWT_TESTS_TPU=1).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debwt_tpu import ops
+from debwt_tpu.kernels.window_keys import TILE, window_keys_pallas
+
+
+@pytest.mark.parametrize(
+    "n_out,w",
+    [
+        (5000, 32),          # single partial tile, full-width key
+        (5000, 31),          # odd width (16+8+4+2+1 decomposition)
+        (TILE, 24),          # exactly one tile
+        (TILE + 1, 23),      # tile boundary + 1 (halo handoff)
+        (3 * TILE + 17, 29), # multi-tile with ragged tail
+        (20000, 12),         # minimum reference -k
+        (9000, 2),           # minimum kernel width
+    ],
+)
+def test_window_keys_parity(rng, n_out, w):
+    x = rng.integers(0, 4, size=n_out + w - 1).astype(np.uint8)
+    hi0, lo0 = ops.window_keys(jnp.asarray(x), w)
+    hi1, lo1 = window_keys_pallas(jnp.asarray(x), w, n_out)
+    np.testing.assert_array_equal(np.asarray(hi0)[:n_out], np.asarray(hi1))
+    np.testing.assert_array_equal(np.asarray(lo0)[:n_out], np.asarray(lo1))
+
+
+def test_window_keys_tail_padding_isolated(rng):
+    """Keys in [0, n_out) must not depend on text past n_out + w - 1:
+    two sources differing only beyond that bound give identical keys."""
+    n_out, w = 6000, 32
+    base = rng.integers(0, 4, size=n_out + w - 1 + 500).astype(np.uint8)
+    other = base.copy()
+    other[n_out + w - 1 :] = (other[n_out + w - 1 :] + 1) % 4
+    for arr in (base, other):
+        hi, lo = window_keys_pallas(jnp.asarray(arr), w, n_out)
+        arr_hi, arr_lo = np.asarray(hi), np.asarray(lo)
+        if arr is base:
+            ref = (arr_hi, arr_lo)
+    np.testing.assert_array_equal(ref[0], arr_hi)
+    np.testing.assert_array_equal(ref[1], arr_lo)
