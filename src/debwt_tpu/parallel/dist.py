@@ -154,7 +154,6 @@ def _first_char(e_hi, e_lo, k: int):
 from debwt_tpu.parallel.collectives import (
     a2a as _a2a,
     exclusive_scan_i32,
-    exclusive_scan_over_devices as _exclusive_scan_over_devices,
     pack_by_dest as _pack_by_dest,
 )
 
