@@ -78,4 +78,11 @@ def build(
     _say(f"out-of-core chunked tier (N={coll.bwt_len}, {n_dev} device(s))")
     from debwt_tpu.oocore import build_bwt_ooc
 
-    return build_bwt_ooc(coll, config)
+    mesh = None
+    if n_dev > 1:
+        # ooc x dist composition: SP ranking shards over the mesh when
+        # the SP string exceeds the single-device cap (30 Gbp shape)
+        from debwt_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_dev)
+    return build_bwt_ooc(coll, config, mesh=mesh)

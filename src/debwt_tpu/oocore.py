@@ -337,6 +337,59 @@ def _ckpt_save(d, st):
     os.replace(tmp, _manifest_path(d))   # atomic: crash-safe manifest
 
 
+def _sp_ranks_host(sp6: np.ndarray, L: int, ooc: "OocConfig", mesh,
+                   say) -> np.ndarray:
+    """Suffix ranks of sp6[:L] as a host int32 array.
+
+    L <= ooc.sp_cap: single-device prefix tripling (engine path).
+    L  > ooc.sp_cap: the ooc x dist composition — the SP string is
+    block-sharded over `mesh` and ranked by parallel/sprank's
+    sample-sort prefix tripling; no device ever holds the whole
+    string. The rank array lands on the HOST (int32, L*4 bytes), which
+    is exactly the ooc tier's working store — the cap being removed is
+    device memory, not host. Sampling-tail partition overflow retries
+    with doubled slack (detected, never silent; see
+    sprank.sp_ranks_sharded).
+    """
+    if L == 0:
+        return np.empty(0, np.int32)
+    if L <= ooc.sp_cap:
+        Lc = _pow2(L)
+        ext = np.zeros(Lc, dtype=np.uint8)
+        ext[:L] = sp6
+        return np.asarray(jax.device_get(
+            _suffix_ranks(jnp.asarray(ext), jnp.int32(L))
+        ))[:L]
+    if mesh is None or int(mesh.devices.size) < 2:
+        raise NotImplementedError(
+            f"SP string ({L} events) exceeds the single-device rank cap "
+            f"{ooc.sp_cap} and no multi-device mesh was given; pass "
+            f"mesh= (build_bwt_ooc) or route via api.build"
+        )
+    from jax.sharding import NamedSharding, PartitionSpec
+    from debwt_tpu.parallel.sprank import sp_ranks_sharded
+
+    n = int(mesh.devices.size)
+    Pb = max(8, _pow2(-(-L // n)))   # round0 uses an 8-char halo
+    padded = np.zeros(n * Pb, dtype=np.uint8)
+    padded[:L] = sp6
+    sp6_blk = jax.device_put(
+        padded.reshape(n, Pb), NamedSharding(mesh, PartitionSpec("d"))
+    )
+    for slack in (2, 4, 8):
+        rank_blk = sp_ranks_sharded(mesh, sp6_blk, L, slack=slack)
+        if rank_blk is not None:
+            say(f"SP ranks: sharded over {n} devices "
+                f"(block {Pb}, slack {slack})")
+            return np.asarray(
+                jax.device_get(rank_blk)
+            ).reshape(-1)[:L].astype(np.int32)
+    raise RuntimeError(
+        "sharded SP ranking overflowed its routing partitions at "
+        "slack=8 — pathological splitter-sample skew"
+    )
+
+
 def blue_coordinates(b_base, b_pos, b_char, rank, sp_pos):
     """Final BWT coordinates of the case-3 (blue) entries: sort by
     (block base, SP-suffix rank, position) — position ascending for
@@ -370,10 +423,14 @@ def build_bwt_ooc(
     config: PipelineConfig | None = None,
     ooc: OocConfig | None = None,
     stats: dict | None = None,
+    mesh=None,
 ) -> BwtResult:
     """stats, when given, is filled with {'bucket_cap', 'chunk',
-    'n_chunks', 'sp_len', 'n_blue'} — the test hook that proves device
-    arrays stay bounded by the caps while N is unbounded."""
+    'n_chunks', 'sp_len', 'n_blue', 'sharded_rank'} — the test hook
+    that proves device arrays stay bounded by the caps while N is
+    unbounded. mesh: a 1-D jax.sharding.Mesh; when given and the SP
+    string exceeds OocConfig.sp_cap, SP ranking runs block-sharded
+    over it (the ooc x dist composition — the 30 Gbp pod shape)."""
     config = config or PipelineConfig()
     ooc = ooc or OocConfig()
     m, k = config.m, config.k
@@ -645,24 +702,15 @@ def build_bwt_ooc(
         sp_pos_parts + [sp.spec_branch_pos.astype(np.int64)]
     )) if (sp_pos_parts or sp.spec_branch_pos.size) else np.empty(0, np.int64)
     L = sp_pos.shape[0]
-    if L > ooc.sp_cap:
-        raise NotImplementedError(
-            f"SP string ({L} events) exceeds the single-device rank cap "
-            f"{ooc.sp_cap}; route to the distributed tier"
-        )
     nxt = np.searchsorted(sep, sp_pos)
     d_at = sep[nxt] - sp_pos
     is_sepc = d_at == k
     sp6 = np.where(
         is_sepc, np.where(sp_pos + k == N - 1, 5, 4), x2p[sp_pos + k]
     ).astype(np.uint8)
-    Lc = _pow2(max(1, L))
-    sp6_ext = np.zeros(Lc, dtype=np.uint8)
-    sp6_ext[:L] = sp6
-    rank = np.asarray(jax.device_get(
-        _suffix_ranks(jnp.asarray(sp6_ext), jnp.int32(L))
-    ))[:L]
-    _say(f"SP string: {L} events")
+    rank = _sp_ranks_host(sp6, L, ooc, mesh, _say)
+    _say(f"SP string: {L} events"
+         + (" (sharded ranking)" if L > ooc.sp_cap else ""))
 
     # ---- blue fill: (block base, SP rank, position) order ----
     if blue_parts:
@@ -677,6 +725,7 @@ def build_bwt_ooc(
         stats.update(
             bucket_cap=cap, chunk=C, n_chunks=n_chunks, sp_len=L,
             n_blue=sum(p[0].shape[0] for p in blue_parts),
+            sharded_rank=L > ooc.sp_cap,
         )
     if ckpt:
         bwt6.flush()

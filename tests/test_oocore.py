@@ -198,6 +198,45 @@ def test_checkpoint_resume_mid_pass_b(rng, tmp_path, monkeypatch):
     assert (res.bwt6 == want.bwt6).all()
 
 
+def test_ooc_sharded_sp_rank(rng):
+    """ooc x dist composition: a forced-tiny sp_cap pushes SP ranking
+    onto the 8-device mesh (parallel/sprank); output stays
+    byte-identical. This is the 30 Gbp pod configuration at test scale
+    — no single-device SP ceiling remains."""
+    import jax
+
+    from debwt_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    # repeat-heavy input -> dense branch events -> long SP string
+    motif = "ACGTTGCAACCGGTT" * 3
+    reads = [motif * 4 + "".join(rng.choice(list("ACGT"), size=60))
+             for _ in range(8)]
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=14)
+    mesh = make_mesh(len(jax.devices()))
+    stats = {}
+    res = build_bwt_ooc(coll, config, OocConfig(chunk=256, n_buckets=8,
+                                                sp_cap=16),
+                        stats=stats, mesh=mesh)
+    assert stats["sharded_rank"] is True
+    assert stats["sp_len"] > 16
+    want = golden_bwt(coll)
+    assert (res.bwt6 == want.bwt6).all()
+    assert (res.sharp_pos == want.sharp_pos).all()
+    assert res.dollar_pos == want.dollar_pos
+
+
+def test_ooc_sharded_rank_requires_mesh(rng):
+    """Without a mesh, exceeding sp_cap is detected, never silent."""
+    reads = random_reads(rng, 6, lo=60, hi=150)
+    coll = SequenceCollection.from_reads(reads)
+    with pytest.raises(NotImplementedError, match="no multi-device mesh"):
+        build_bwt_ooc(coll, PipelineConfig(m=14),
+                      OocConfig(chunk=256, n_buckets=4, sp_cap=1))
+
+
 def test_checkpoint_done_runs_fresh(rng, tmp_path):
     """A completed manifest does not poison the next run."""
     reads = random_reads(rng, 5, lo=40, hi=120)
