@@ -30,8 +30,47 @@ def available() -> bool:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    try:
+        lib.debwt_lf_walk.restype = ctypes.c_int64
+        lib.debwt_lf_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.debwt_lf_walk_occ.restype = ctypes.c_int64
+        lib.debwt_lf_walk_occ.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+    except AttributeError:
+        pass   # stale .so without the walk kernels: parser still works
     _lib = lib
     return True
+
+
+def has_lf_walk() -> bool:
+    return available() and hasattr(_lib, "debwt_lf_walk")
+
+
+def lf_walk(lf, bwt6, x6, steps: int, start: int) -> int:
+    """Native i <- lf[i] walk; returns -1 ok, else first-mismatch text
+    position. Arrays must be C-contiguous (int64/uint8/uint8)."""
+    return int(_lib.debwt_lf_walk(
+        lf.ctypes.data, bwt6.ctypes.data, x6.ctypes.data,
+        lf.shape[0], steps, start,
+    ))
+
+
+def lf_walk_occ(bwt6, x6, occ6, cum, sample: int, steps: int,
+                start: int) -> int:
+    """Native sampled-occ walk (bounded memory); same return contract."""
+    import numpy as np
+
+    is_u32 = 1 if occ6.dtype == np.uint32 else 0
+    return int(_lib.debwt_lf_walk_occ(
+        bwt6.ctypes.data, x6.ctypes.data, occ6.ctypes.data, is_u32,
+        cum.ctypes.data, sample, bwt6.shape[0], steps, start,
+    ))
 
 
 def parse_fasta(raw: bytes, policy: str, seed: int):

@@ -73,10 +73,12 @@ def lf_verify(result, coll, max_steps: int | None = None,
     cap 3.1e10). Peak extra memory is the sampled occ table
     (~24/sample bytes per char) except on small inputs, where a full
     LF permutation is cheaper and faster."""
-    bwt6 = result.bwt6
+    from debwt_tpu.io import native
+
+    bwt6 = np.ascontiguousarray(result.bwt6)
     n = bwt6.shape[0]
     steps = n if max_steps is None else min(n, max_steps)
-    x6 = coll.x6
+    x6 = np.ascontiguousarray(coll.x6)
     i = np.int64(result.dollar_pos)
 
     if n < _FAST_N:
@@ -87,6 +89,8 @@ def lf_verify(result, coll, max_steps: int | None = None,
         ranks = np.empty(n, dtype=np.int64)
         ranks[order] = np.arange(n, dtype=np.int64) - cum[bwt6[order]]
         lf = cum[bwt6] + ranks
+        if native.has_lf_walk():
+            return native.lf_walk(lf, bwt6, x6, steps, int(i)) == -1
         for pos in range(n - 1, n - 1 - steps, -1):
             if x6[pos] != bwt6[i]:
                 return False
@@ -96,6 +100,11 @@ def lf_verify(result, coll, max_steps: int | None = None,
     occ6, counts = _build_occ6(bwt6, sample)
     cum = np.zeros(7, dtype=np.int64)
     np.cumsum(counts, out=cum[1:])
+    if native.has_lf_walk():
+        occ6 = np.ascontiguousarray(occ6)
+        return native.lf_walk_occ(
+            bwt6, x6, occ6, cum, sample, steps, int(i)
+        ) == -1
     for pos in range(n - 1, n - 1 - steps, -1):
         c = bwt6[i]
         if x6[pos] != c:

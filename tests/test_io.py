@@ -114,6 +114,36 @@ def test_lf_verify(rng):
     assert not lf_verify(g2, coll)
 
 
+def test_lf_walk_native_matches_python(rng, monkeypatch):
+    """The native C++ LF walker (csrc/lf_walk.cpp) and the Python loop
+    agree on both regimes (full-lf and sampled-occ), pass and fail."""
+    from debwt_tpu import verify
+    from debwt_tpu.io import native
+
+    if not native.has_lf_walk():
+        pytest.skip("native walker not built")
+    reads = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(4)]
+    coll = SequenceCollection.from_reads(reads)
+    g = golden_bwt(coll)
+    import dataclasses
+
+    bad = g.bwt6.copy()
+    i = int(np.nonzero(bad < 4)[0][11])
+    bad[i] ^= 2
+    g_bad = dataclasses.replace(g, bwt6=bad)
+    for fast_n in (1 << 27, 1):      # full-lf path, then sampled-occ
+        monkeypatch.setattr(verify, "_FAST_N", fast_n)
+        native_ok = verify.lf_verify(g, coll, sample=8)
+        native_bad = verify.lf_verify(g_bad, coll, sample=8)
+        monkeypatch.setattr(native, "has_lf_walk", lambda: False)
+        py_ok = verify.lf_verify(g, coll, sample=8)
+        py_bad = verify.lf_verify(g_bad, coll, sample=8)
+        monkeypatch.undo()
+        monkeypatch.setattr(verify, "_FAST_N", fast_n)
+        assert native_ok is py_ok is True
+        assert native_bad is py_bad is False
+
+
 def test_occ_consistency(rng):
     reads = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(2)]
     coll = SequenceCollection.from_reads(reads)
