@@ -102,18 +102,19 @@ def _chunk_keys(x2w, k: int, C: int):
     return ops.window_keys(x2c[: C + k - 1], k)
 
 
-def sample_splitters16(x2: np.ndarray, n: int, seed: int = 17,
-                       samples: int = 1 << 16) -> np.ndarray:
-    """n-1 top-16-bit key splitters from a host-side sample of 8-char
-    window prefixes — equal-depth partition of the key distribution
+def sample_splitters(x2: np.ndarray, n: int, c: int, seed: int = 17,
+                     samples: int = 1 << 16) -> np.ndarray:
+    """n-1 equal-depth uint32 splitters over c-char window prefixes
     (the balance role of mySort's cumulative bucket counts,
-    src/mySort.c:104-110). Same granularity caveat as the distributed
-    tier: one hot 16-bit bucket cannot be split further."""
-    P = max(1, x2.shape[0] - 8)
+    src/mySort.c:104-110). c = min(16, k) chars: deep enough to split
+    hot 8-char buckets under low-complexity skew; only a single k-mer
+    with > 1/n mass is unsplittable (node groups must stay
+    bucket-local by design)."""
+    P = max(1, x2.shape[0] - c)
     idx = np.random.default_rng(seed).integers(0, P, size=samples)
-    v = np.zeros(samples, dtype=np.uint16)
-    for i in range(8):
-        v = (v << 2) | x2[np.minimum(idx + i, x2.shape[0] - 1)].astype(np.uint16)
+    v = np.zeros(samples, dtype=np.uint32)
+    for i in range(c):
+        v = (v << 2) | x2[np.minimum(idx + i, x2.shape[0] - 1)].astype(np.uint32)
     v.sort()
     qs = (np.arange(1, n) * samples) // n
     return v[qs]
@@ -301,8 +302,10 @@ def _fingerprint(coll, m: int, nb: int, C: int) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    # the trailing 2 versions the splitter format (uint32, min(16,k)
+    # chars) — manifests written by older splitter code must not resume
     h.update(np.asarray(
-        [coll.bwt_len, coll.n_reads, m, nb, C], dtype=np.int64
+        [coll.bwt_len, coll.n_reads, m, nb, C, 2], dtype=np.int64
     ).tobytes())
     h.update(coll.x2[:4096].tobytes())
     h.update(coll.x2[-4096:].tobytes())
@@ -456,10 +459,11 @@ def build_bwt_ooc(
             _say(f"resuming from checkpoint: stage {state['stage']}"
                  + (f" bucket {state.get('next_bucket')}"
                     if state["stage"] == "B" else ""))
+    split_c = min(16, k)
     if state is not None:
-        splitters = np.asarray(state["splitters"], dtype=np.uint16)
+        splitters = np.asarray(state["splitters"], dtype=np.uint32)
     else:
-        splitters = sample_splitters16(coll.x2, nb)
+        splitters = sample_splitters(coll.x2, nb, split_c)
     x2p = np.concatenate(
         [coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)]
     )
@@ -503,10 +507,10 @@ def build_bwt_ooc(
             (choice << 8) | (bwt_char << 4) | (head.astype(np.uint16) << 3)
             | predf
         )
-        top16 = ((hi.astype(np.uint64) << np.uint64(32)) | lo) >> np.uint64(
-            2 * k - 16
+        topc = ((hi.astype(np.uint64) << np.uint64(32)) | lo) >> np.uint64(
+            2 * (k - split_c)
         )
-        dest = np.searchsorted(splitters, top16.astype(np.uint16),
+        dest = np.searchsorted(splitters, topc.astype(np.uint32),
                                side="right")
         order = np.argsort(dest, kind="stable")
         dest_s = dest[order]
@@ -544,8 +548,10 @@ def build_bwt_ooc(
 
     # special rows -> buckets (true suffix order preserved per bucket
     # because splitters partition the key space monotonically)
-    spec_top16 = (sp.spec_tfill >> np.uint64(2 * k - 16)).astype(np.uint16)
-    spec_dest = np.searchsorted(splitters, spec_top16, side="right")
+    spec_topc = (
+        sp.spec_tfill >> np.uint64(2 * (k - split_c))
+    ).astype(np.uint32)
+    spec_dest = np.searchsorted(splitters, spec_topc, side="right")
     spec_hi = (sp.spec_tfill >> np.uint64(32)).astype(np.uint32)
     spec_lo = (sp.spec_tfill & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     spec_rank = np.arange(sp.spec_tfill.shape[0], dtype=np.int64)
@@ -559,7 +565,7 @@ def build_bwt_ooc(
     assert cap < (1 << 27), (
         f"bucket cap {cap} exceeds the device segment-scan bound; "
         f"raise OocConfig.n_buckets (key skew caveat in "
-        f"sample_splitters16.__doc__)"
+        f"sample_splitters.__doc__)"
     )
     start_b = 0
     base = 0                      # int64 host coordinate — no 2^32 cap

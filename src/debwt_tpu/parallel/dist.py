@@ -90,41 +90,43 @@ def _put(a, sharding):
     return jax.device_put(a, sharding)
 
 
-def _top16(hi, lo, nbits: int):
-    """Top 16 bits of an nbits-wide right-aligned key pair."""
-    s = nbits - 16
+def _top_chars(hi, lo, nbits: int, c: int):
+    """Top 2c bits (the first c chars) of an nbits-wide right-aligned
+    key pair, as uint32."""
+    w = 2 * c
+    s = nbits - w
+    mask = jnp.uint32(0xFFFFFFFF) if w == 32 else jnp.uint32((1 << w) - 1)
     if s >= 32:
-        return (hi >> (s - 32)) & jnp.uint32(0xFFFF)
+        return (hi >> (s - 32)) & mask
     if s > 0:
-        return ((hi << (32 - s)) | (lo >> s)) & jnp.uint32(0xFFFF)
-    return (lo << (-s)) & jnp.uint32(0xFFFF)
+        return ((hi << (32 - s)) | (lo >> s)) & mask
+    return (lo << (-s)) & mask
 
 
-def _dest(hi, lo, nbits: int, n: int):
-    return ((_top16(hi, lo, nbits).astype(I32)) * n) >> 16
-
-
-def _dest_split(hi, lo, nbits: int, splitters16):
+def _dest_split(hi, lo, nbits: int, splitters, c: int):
     """Key owner via sampled splitters (equal-depth partition of the
-    top-16-bit key distribution) instead of a uniform split — the
+    first-c-chars key distribution) instead of a uniform split — the
     distributed analogue of balancing mySort's bucket segments by
-    cumulative counts (src/mySort.c:104-110). Node keys (2k bits) and
-    edge keys (2m bits) share their top 16 bits (the first 8 chars),
-    so ownership is consistent across both key spaces."""
-    v = _top16(hi, lo, nbits)
-    return jnp.searchsorted(splitters16, v, side="right").astype(I32)
+    cumulative counts (src/mySort.c:104-110). c = min(16, k) chars, so
+    node keys (2k bits) and edge keys (2m bits) agree on the prefix
+    and ownership is consistent across both key spaces. 16-char depth
+    (vs the old 8) splits hot 8-char buckets — realistic
+    low-complexity skew — across devices; only a single k-mer with
+    > 1/n mass is unsplittable (node groups must stay device-local by
+    design, as in the reference's per-node blocks)."""
+    v = _top_chars(hi, lo, nbits, c)
+    return jnp.searchsorted(splitters, v, side="right").astype(I32)
 
 
-def _sample_splitters16(x2, n: int, seed: int = 17, samples: int = 1 << 16):
-    """n-1 top-16-bit splitters from a host-side sample of 8-char
-    window prefixes. Heavy duplicate mass can still land one 16-bit
-    bucket on one chip (65536-way granularity); splitting inside a
-    bucket needs deeper splitter keys (ROADMAP)."""
-    P = max(1, x2.shape[0] - 8)
+def _sample_splitters(x2, n: int, c: int, seed: int = 17,
+                      samples: int = 1 << 16):
+    """n-1 equal-depth splitters over c-char window prefixes (uint32),
+    sampled host-side."""
+    P = max(1, x2.shape[0] - c)
     idx = np.random.default_rng(seed).integers(0, P, size=samples)
-    v = np.zeros(samples, dtype=np.uint16)
-    for i in range(8):
-        v = (v << 2) | x2[idx + i].astype(np.uint16)
+    v = np.zeros(samples, dtype=np.uint32)
+    for i in range(c):
+        v = (v << 2) | x2[idx + i].astype(np.uint32)
     v.sort()
     qs = (np.arange(1, n) * samples) // n
     return v[qs]
@@ -224,7 +226,8 @@ def dist_build_bwt(
     s_hi, s_lo = _split64(sp.spec_tfill)
     n_spec = sp.spec_tfill.shape[0]
 
-    splitters16 = jnp.asarray(_sample_splitters16(coll.x2, n))
+    split_c = min(16, k)
+    splitters16 = jnp.asarray(_sample_splitters(coll.x2, n, split_c))
 
     sharding = NamedSharding(mesh, P("d"))
     rep = NamedSharding(mesh, P())
@@ -247,9 +250,9 @@ def dist_build_bwt(
     def s0(x2, dist):
         x2, dist = x2[0], dist[0]
         e_hi, e_lo, valid = _edge_keys_local(x2, dist, m)
-        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16)
+        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16, split_c)
         sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
-        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16)
+        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16, split_c)
         h1 = jnp.bincount(jnp.where(valid, d1, n), length=n + 1)[:n]
         h2 = jnp.bincount(jnp.where(valid, d2, n), length=n + 1)[:n]
         return h1[None], h2[None]
@@ -278,7 +281,7 @@ def dist_build_bwt(
         # source shard of a routed row is its all_to_all slot row)
         lpos = jnp.arange(Ns_l, dtype=I32)
         # prefix-routed exchange (carry position)
-        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16)
+        d1 = _dest_split(e_hi, e_lo, 2 * m, splitters16, split_c)
         ph, pl, ppos = _pack_by_dest(
             d1, valid, cap_e, n,
             (e_hi, KEY_MAX), (e_lo, KEY_MAX), (lpos, jnp.int32(-1)),
@@ -290,7 +293,7 @@ def dist_build_bwt(
         # suffix-routed exchange (carry first char)
         sk_hi, sk_lo = _suffix_key(e_hi, e_lo, k)
         fc = _first_char(e_hi, e_lo, k)
-        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16)
+        d2 = _dest_split(sk_hi, sk_lo, 2 * k, splitters16, split_c)
         qh, ql, qc = _pack_by_dest(
             d2, valid, cap_e, n,
             (sk_hi, KEY_MAX), (sk_lo, KEY_MAX), (fc, jnp.int32(4)),
@@ -360,8 +363,8 @@ def dist_build_bwt(
         sk2_lo = jnp.full(E_l, KEY_MAX).at[tgt2].set(sl2, mode="drop")
 
         # owned tails/heads
-        town = _dest_split(th, tl, 2 * k, splitters16) == r
-        hown = _dest_split(hh, hl, 2 * k, splitters16) == r
+        town = _dest_split(th, tl, 2 * k, splitters16, split_c) == r
+        hown = _dest_split(hh, hl, 2 * k, splitters16, split_c) == r
         th_o = jnp.where(town, th, KEY_MAX)
         tl_o = jnp.where(town, tl, KEY_MAX)
         th_o, tl_o = jax.lax.sort((th_o, tl_o), num_keys=2)
@@ -402,7 +405,7 @@ def dist_build_bwt(
         multi_in = node_valid & ((in_d >= 2) | head_member)
 
         # ---- units + global coordinates ----
-        sown = _dest_split(sh_, sl_, 2 * k, splitters16) == r
+        sown = _dest_split(sh_, sl_, 2 * k, splitters16, split_c) == r
         su_hi = jnp.where(sown, sh_, KEY_MAX)
         su_lo = jnp.where(sown, sl_, KEY_MAX)
         u2_hi = jnp.concatenate([node_hi, su_hi])
@@ -465,41 +468,42 @@ def dist_build_bwt(
     )
 
     # tail-position flags: flags of the n_reads tail nodes, combined
-    # across owners on host (tiny)
-    tflags = _gather_key_flags(
+    # across owners IN-JIT — stay on device, replicated (no host sync
+    # between S1 and S2)
+    tail_mi_rep, tail_ref_rep = _gather_key_flags(
         mesh, node_hi, node_lo, multi_in, multi_out, tailq_hi, tailq_lo, n
     )
 
     # ---------------- S2: text-side classification ----------------
-    spec_bwtpos_h, cnt_h = _fetch((spec_bwtpos, cnt))
-    # owners hold the local coordinate; non-owners hold -1. Every
-    # special must be owned by exactly one device.
-    spec_owned_h = spec_bwtpos_h >= 0
-    assert (spec_owned_h.sum(axis=0) == 1).all()
-
-    tail_mi, tail_mo, tail_ref = tflags
-    # map tail positions -> per-shard arrays
-    tailpos_full = np.full(n * Ns, -1, dtype=np.int64)
-    tp = coll.sep - k
-    tail_flag_mi = np.zeros(n * Ns, dtype=bool)
-    tail_flag_mi[tp] = tail_mi
-    tail_ref_full = np.full(n * Ns, 0xFFFFFFFF, dtype=np.uint32)
-    tail_ref_full[tp] = tail_ref
+    # separators before each shard's start: lets s2 recover the READ
+    # INDEX of a tail position on device (base + local separator
+    # cumsum), so the per-read tail flags never round-trip the host
+    sep_base = np.searchsorted(
+        coll.sep, np.arange(n, dtype=np.int64) * Ns
+    ).astype(np.int32)
 
     @functools.partial(jax.jit, static_argnames=())
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(
             P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
-            P("d"), P("d"),
+            P("d"), P(), P(),
         ),
         out_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
     )
-    def s2(x2, dist, sbm, mi_b, mo_b, ref_b, pos_b, t_mi, t_ref):
+    def s2(x2, dist, sbm, mi_b, mo_b, ref_b, pos_b, sb, tmi_r, tref_r):
         x2, dist, sbm = x2[0], dist[0], sbm[0]
         mi_b, mo_b, ref_b, pos_b = mi_b[0], mo_b[0], ref_b[0], pos_b[0]
-        t_mi, t_ref = t_mi[0], t_ref[0]
         Ns_l = dist.shape[0]
+        # read index of each position: shard base + local separator
+        # exclusive-cumsum (separators sit at read ENDS, so the count
+        # of separators before a tail position IS its read index)
+        is_sep_l = (dist == 0).astype(I32)
+        read_id = jnp.minimum(
+            sb[0] + jnp.cumsum(is_sep_l) - is_sep_l, n_reads - 1
+        )
+        t_mi = tmi_r[read_id]
+        t_ref = tref_r[read_id]
         # positions echo back shard-local (the echo lands on the shard
         # that sent them, so no rebasing is needed)
         local = pos_b.reshape(-1)
@@ -531,9 +535,18 @@ def dist_build_bwt(
 
     is_sp_d, is_blue_d, ref_pos_d, l_sp_d, l_blue_d = s2(
         x2_d, dist_d, sb_d, mi_b, mo_b, ref_b, pos_b,
-        dev(tail_flag_mi.reshape(n, Ns)), dev(tail_ref_full.reshape(n, Ns)),
+        dev(sep_base), tail_mi_rep, tail_ref_rep,
     )
-    l_sp_h, l_blue_h = _fetch((l_sp_d, l_blue_d))
+    # ONE batched fetch covers everything the host needs before S3:
+    # spec ownership + counts (S3 stitch) and the SP/blue totals
+    # (static caps for s2b)
+    spec_bwtpos_h, cnt_h, l_sp_h, l_blue_h = _fetch(
+        (spec_bwtpos, cnt, l_sp_d, l_blue_d)
+    )
+    # owners hold the local coordinate; non-owners hold -1. Every
+    # special must be owned by exactly one device.
+    spec_owned_h = spec_bwtpos_h >= 0
+    assert (spec_owned_h.sum(axis=0) == 1).all()
     cap_sp = _pow2(max(1, int(l_sp_h.max())))
     cap_blue = _pow2(max(1, int(l_blue_h.max())))
     L_total = int(l_sp_h.sum())
@@ -807,13 +820,15 @@ def dist_build_bwt(
 def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
                       q_hi, q_lo, n):
     """Flags + node references for a small replicated query key set,
-    combined across owners (host side, tiny)."""
+    combined across owners IN-JIT (psum/pmin) — the result stays on
+    device, replicated, so no host sync point exists between S1 and
+    S2 (the tunneled-backend fetch batching of docs/ROADMAP.md)."""
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P()),
-        out_specs=(P("d"), P("d"), P("d")),
+        out_specs=(P(), P()),
     )
     def gather(nh, nl, mi, mo, qh, ql):
         nh, nl, mi, mo = nh[0], nl[0], mi[0], mo[0]
@@ -822,18 +837,14 @@ def _gather_key_flags(mesh, node_hi, node_lo, multi_in, multi_out,
         idx_c = jnp.minimum(idx, nh.shape[0] - 1)
         hit = (nh[idx_c] == qh) & (nl[idx_c] == ql)
         mi_q = jnp.where(hit, mi[idx_c], False)
-        mo_q = jnp.where(hit, mo[idx_c], False)
         ref_q = jnp.where(
             hit, idx_c.astype(U32) * n + r.astype(U32), INV32
         )
-        return mi_q[None], mo_q[None], ref_q[None]
+        mi_all = jax.lax.psum(mi_q.astype(I32), "d") > 0
+        ref_all = jax.lax.pmin(ref_q, "d")   # miss = INV32 (max u32)
+        return mi_all, ref_all
 
-    mi_q, mo_q, ref_q = gather(
+    return gather(
         node_hi, node_lo, multi_in, multi_out,
         jnp.asarray(q_hi), jnp.asarray(q_lo),
     )
-    mi_a, mo_a, ref_a = _fetch((mi_q, mo_q, ref_q))
-    mi_h = mi_a.any(axis=0)
-    mo_h = mo_a.any(axis=0)
-    ref_h = ref_a.min(axis=0)  # miss = INV32
-    return mi_h, mo_h, ref_h

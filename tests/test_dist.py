@@ -82,23 +82,40 @@ def test_graft_entry_dryrun():
 
 
 def test_pathological_single_bucket_8dev():
-    """Worst case for _sample_splitters16: one 16-bit key bucket (all-A
-    prefixes) carries almost every key, so splitters cannot separate
-    inside it and one chip owns nearly the whole key space. Must stay
-    byte-correct (capacities size up; balance degrades gracefully)."""
+    """Skew stress: almost every key starts with a hot 8-char prefix
+    (mutated poly-A). The 16-char splitter depth must both stay
+    byte-correct AND split the hot 8-char bucket across devices — the
+    per-device BWT segment-size spread is the balance witness (the old
+    8-char splitters put ~everything on one chip here)."""
     rng = np.random.default_rng(7)
-    # a dominant poly-A run with sparse point mutations (keeps branch
-    # nodes inside the hot bucket), plus a couple of normal reads
+    # a dominant poly-A run with point mutations dense enough that
+    # nearly every 16-char window holds one (gap ~10 < 16): the keys
+    # are DIVERSE inside the hot 8-char bucket, so depth-16 splitters
+    # can spread them. The unsplittable all-A node itself stays small
+    # (an inherent limit shared with the reference's per-node blocks).
     polyA = np.zeros(30_000, dtype=np.uint8)
-    mut = rng.choice(len(polyA) - 64, size=40, replace=False) + 32
-    polyA[mut] = rng.integers(1, 4, size=40)
+    mut = rng.choice(len(polyA) - 64, size=3000, replace=False) + 32
+    polyA[mut] = rng.integers(1, 4, size=3000)
     reads = [
         "".join("ACGT"[c] for c in polyA),
         "".join(rng.choice(list("ACGT"), size=500)),
-        "A" * 4000,
+        "A" * 400,
         "".join(rng.choice(list("ACGT"), size=300)),
     ]
-    _assert_equal(SequenceCollection.from_reads(reads), make_mesh(8))
+    coll = SequenceCollection.from_reads(reads)
+    import debwt_tpu.parallel.dist as dist
+
+    dbg = {}
+    dist.DEBUG = dbg
+    try:
+        _assert_equal(coll, make_mesh(8))
+    finally:
+        dist.DEBUG = None
+    # balance: per-device owned BWT segment sizes; with splittable key
+    # mass no device may own more than ~3x its fair 1/8 share (the old
+    # 8-char splitters put ~everything on one chip here)
+    seg = dbg["cnt"].sum(axis=1)
+    assert seg.max() <= 0.4 * seg.sum(), seg
 
 
 def test_split_index_device_dtypes():

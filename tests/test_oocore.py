@@ -11,7 +11,7 @@ import pytest
 
 from debwt_tpu.golden import golden_bwt
 from debwt_tpu.oocore import (
-    OocConfig, blue_coordinates, build_bwt_ooc, sample_splitters16,
+    OocConfig, blue_coordinates, build_bwt_ooc, sample_splitters,
 )
 from debwt_tpu.pipeline import build_bwt
 from debwt_tpu.types import PipelineConfig, SequenceCollection
@@ -92,7 +92,7 @@ def test_blue_coordinates_past_2_32():
 
 def test_splitters_partition_monotone(rng):
     x2 = rng.integers(0, 4, size=5000).astype(np.uint8)
-    sp = sample_splitters16(x2, 8)
+    sp = sample_splitters(x2, 8, 16)
     assert sp.shape == (7,)
     assert (np.diff(sp.astype(np.int64)) >= 0).all()
 
