@@ -44,8 +44,55 @@ def available() -> bool:
         ]
     except AttributeError:
         pass   # stale .so without the walk kernels: parser still works
+    try:
+        lib.debwt_ooc_bin.restype = ctypes.c_int64
+        lib.debwt_ooc_bin.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return True
+
+
+def has_ooc_bin() -> bool:
+    return available() and hasattr(_lib, "debwt_ooc_bin")
+
+
+def ooc_bin(hi, lo, c0: int, sep, x2p, N: int, splitters, split_c: int,
+            k: int):
+    """Native pass-A binner (csrc/ooc_binner.cpp): returns
+    (out_hi, out_lo, out_k16, out_pos, counts) with rows grouped
+    bucket-contiguously; counts is int64[nb]."""
+    import numpy as np
+
+    C_real = hi.shape[0]
+    nb = splitters.shape[0] + 1
+    assert nb <= 4096
+    out_hi = np.empty(C_real, np.uint32)
+    out_lo = np.empty(C_real, np.uint32)
+    out_k16 = np.empty(C_real, np.uint16)
+    out_pos = np.empty(C_real, np.int64)
+    counts = np.zeros(nb, np.int64)
+    total = _lib.debwt_ooc_bin(
+        hi.ctypes.data, lo.ctypes.data, c0, C_real,
+        sep.ctypes.data, sep.shape[0],
+        x2p.ctypes.data, N,
+        splitters.ctypes.data, nb, split_c, k,
+        out_hi.ctypes.data, out_lo.ctypes.data,
+        out_k16.ctypes.data, out_pos.ctypes.data,
+        counts.ctypes.data,
+    )
+    assert total == counts.sum()
+    return out_hi, out_lo, out_k16, out_pos, counts
 
 
 def has_lf_walk() -> bool:

@@ -482,9 +482,29 @@ def build_bwt_ooc(
     pending = None   # (c0, C_real, device keys) — one-deep pipeline so
     #                   chunk i+1's dispatch overlaps chunk i's binning
 
+    from debwt_tpu.io import native as _native
+
+    use_native = _native.has_ooc_bin()
+    sep_c = np.ascontiguousarray(sep)
+    spl_c = np.ascontiguousarray(splitters.astype(np.uint32))
+
     def _bin_rows(c0, C_real, hi_d, lo_d):
-        hi = np.asarray(jax.device_get(hi_d))[:C_real]
-        lo = np.asarray(jax.device_get(lo_d))[:C_real]
+        hi = np.ascontiguousarray(np.asarray(jax.device_get(hi_d))[:C_real])
+        lo = np.ascontiguousarray(np.asarray(jax.device_get(lo_d))[:C_real])
+        if use_native:
+            # streaming C++ binner: O(C), no argsort, no fancy gathers
+            # (csrc/ooc_binner.cpp — the 30 Gbp ingest hot loop)
+            o_hi, o_lo, o_k16, o_pos, cnts = _native.ooc_bin(
+                hi, lo, c0, sep_c, x2p, N, spl_c, split_c, k
+            )
+            s = 0
+            for b in range(nb):
+                e = s + int(cnts[b])
+                if e > s:
+                    store.append(b, o_hi[s:e], o_lo[s:e], o_k16[s:e],
+                                 o_pos[s:e])
+                s = e
+            return
         pos = c0 + np.arange(C_real, dtype=np.int64)
         nxt = np.searchsorted(sep, pos)
         dist = sep[nxt] - pos

@@ -237,6 +237,27 @@ def test_ooc_sharded_rank_requires_mesh(rng):
                       OocConfig(chunk=256, n_buckets=4, sp_cap=1))
 
 
+def test_native_binner_matches_numpy(rng, monkeypatch):
+    """The C++ pass-A binner and the NumPy fallback must fill the
+    bucket store identically (same rows, same within-bucket order) —
+    pinned end-to-end by byte-identical output on a chunked run."""
+    from debwt_tpu.io import native
+
+    if not native.has_ooc_bin():
+        pytest.skip("native binner not built")
+    reads = random_reads(rng, 10, lo=50, hi=220)
+    coll = SequenceCollection.from_reads(reads)
+    config = PipelineConfig(m=18)
+    ooc = OocConfig(chunk=256, n_buckets=8)
+    a = build_bwt_ooc(coll, config, ooc)
+    monkeypatch.setattr(native, "has_ooc_bin", lambda: False)
+    b = build_bwt_ooc(coll, config, ooc)
+    assert (a.bwt6 == b.bwt6).all()
+    assert a.packed() == b.packed()
+    want = golden_bwt(coll)
+    assert (a.bwt6 == want.bwt6).all()
+
+
 def test_checkpoint_done_runs_fresh(rng, tmp_path):
     """A completed manifest does not poison the next run."""
     reads = random_reads(rng, 5, lo=40, hi=120)
