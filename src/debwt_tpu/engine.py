@@ -214,32 +214,30 @@ def stage_graph(
     # row index IS the BWT coordinate.
     # All per-segment facts are PRESENCE tests evaluated at the
     # segment-start rows: "does pred class c / a head row / a
-    # multi-out indicator occur anywhere in my segment?". Each is one
-    # reverse-cummin scan (first occurrence index at-or-after every
-    # row, compared against the segment's last row), computed
-    # SEQUENTIALLY so at most a couple of R-sized temporaries are live
-    # — the previous (6, R) stacked-cumsum form allocated two 4 GB
-    # tuple temps at the 140 Mbp tier and OOM'd a 16 GB chip.
-    BIG = jnp.iinfo(jnp.int32).max
-    idx = jnp.arange(R, dtype=I32)
-    ns_incl = jax.lax.cummin(jnp.where(newseg, idx, BIG), reverse=True)
-    # nearest start strictly after i -> my segment's last row
-    ns_after = jnp.concatenate([ns_incl[1:], jnp.full(1, BIG, I32)])
-    last_row = jnp.minimum(ns_after - 1, R - 1)
+    # multi-out indicator occur anywhere in my segment?". All six pack
+    # into one bit-word per row and ONE segmented suffix-OR
+    # (kernels/seg_or.py: one Pallas HBM pass on TPU, a log-shift XLA
+    # sweep elsewhere) — this replaced seven separate reverse-cummin
+    # scans, each a full HBM pass AND ~15-25 s of remote-compile time
+    # on the axon service. Per-row temporaries stay O(R) int32 (the
+    # old (6, R) stacked-cumsum form OOM'd a 16 GB chip at 140 Mbp).
+    from debwt_tpu.kernels.seg_or import seg_suffix_or
 
-    def _present(col):
-        nxt = jax.lax.cummin(jnp.where(col, idx, BIG), reverse=True)
-        return nxt <= last_row       # valid AT segment-start rows
-
-    in_d = jnp.zeros(R, I32)
-    pred_sum = jnp.zeros(R, I32)
-    for c in range(4):
-        p = _present((r_pred == c) & is_node_row).astype(I32)
-        in_d = in_d + p
-        if c:
-            pred_sum = pred_sum + c * p
-    mo_seg = _present(mo_ind)
-    mi_seg = (in_d >= 2) | _present(r_head & is_node_row)
+    pred_bit = jax.lax.shift_left(jnp.int32(1), r_pred.astype(I32)) & 15
+    bits = (
+        jnp.where(is_node_row, pred_bit, 0)
+        | jnp.where(r_head & is_node_row, 16, 0)
+        | jnp.where(mo_ind, 32, 0)
+    )
+    stop = jnp.concatenate([newseg[1:], jnp.ones(1, bool)])
+    orb = seg_suffix_or(bits | (stop.astype(I32) << 6))
+    p1 = (orb >> 1) & 1
+    p2 = (orb >> 2) & 1
+    p3 = (orb >> 3) & 1
+    in_d = (orb & 1) + p1 + p2 + p3
+    pred_sum = p1 + 2 * p2 + 3 * p3
+    mo_seg = (orb & 32) != 0
+    mi_seg = (in_d >= 2) | ((orb & 16) != 0)
     # only meaningful when in_d == 1; clamp to its 2-bit field (the sum
     # reaches 6 for multi-pred segments and would bleed into idx bits)
     pred_single = jnp.where(in_d == 1, pred_sum, 0)

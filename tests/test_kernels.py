@@ -47,3 +47,49 @@ def test_window_keys_tail_padding_isolated(rng):
             ref = (arr_hi, arr_lo)
     np.testing.assert_array_equal(ref[0], arr_hi)
     np.testing.assert_array_equal(ref[1], arr_lo)
+
+
+# ---------------------------------------------------------------------------
+# segmented suffix-OR (kernels/seg_or.py)
+# ---------------------------------------------------------------------------
+
+
+def _seg_or_naive(bits, stop):
+    out = np.zeros(bits.shape[0], np.int64)
+    acc = 0
+    for i in range(bits.shape[0] - 1, -1, -1):
+        acc = bits[i] | (0 if stop[i] else acc)
+        out[i] = acc
+    return out
+
+
+@pytest.mark.parametrize(
+    "R", [1, 127, 8192, 8193, 3 * 8192 + 17, 70001]
+)
+def test_seg_suffix_or_parity(rng, R):
+    from debwt_tpu.kernels.seg_or import seg_suffix_or
+
+    bits = rng.integers(0, 64, size=R).astype(np.int32)
+    newseg = rng.random(R) < 0.05
+    stop = np.concatenate([newseg[1:], [True]])
+    words = bits | (stop.astype(np.int32) << 6)
+    want = _seg_or_naive(bits, stop)
+    for impl in ("xla", "pallas"):
+        got = np.asarray(seg_suffix_or(jnp.asarray(words), impl=impl)) & 63
+        np.testing.assert_array_equal(got, want, err_msg=impl)
+
+
+def test_seg_suffix_or_tile_spanning_segment(rng):
+    """One segment spanning many tiles exercises the cross-tile SMEM
+    carry chain of the Pallas kernel."""
+    from debwt_tpu.kernels.seg_or import seg_suffix_or
+
+    R = 5 * 8192 + 77
+    bits = rng.integers(0, 64, size=R).astype(np.int32)
+    stop = np.zeros(R, bool)
+    stop[-1] = True
+    words = bits | (stop.astype(np.int32) << 6)
+    want = _seg_or_naive(bits, stop)
+    for impl in ("xla", "pallas"):
+        got = np.asarray(seg_suffix_or(jnp.asarray(words), impl=impl)) & 63
+        np.testing.assert_array_equal(got, want, err_msg=impl)
