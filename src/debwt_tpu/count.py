@@ -80,3 +80,52 @@ def count_kmers(coll, m: int = 32):
     seg = np.cumsum(b_h) - 1
     counts = np.bincount(seg, minlength=int(seg[-1]) + 1 if seg.size else 0)
     return keys, counts.astype(np.int64)
+
+
+def read_kmer_dump(path: str, m: int = 32):
+    """Ingest an existing Jellyfish text dump (`kmer\\tcount` lines,
+    the format the reference's mySort re-parses with fscanf,
+    src/mySort.c:54) — interop for users who already ran counting.
+    Returns (kmers uint64[:], counts int64[:]) sorted by k-mer value,
+    i.e. exactly count_kmers' output format. The 'N'->G quirk of the
+    reference's private trans table (src/mySort.c:33) is applied for
+    byte-for-byte interop. Sized for convenience-scale dumps (a plain
+    per-line parse); the primary path counts on device and never
+    materializes a text dump.
+    """
+    import numpy as np
+
+    raw = open(path, "rb").read()
+    if not raw:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    lut = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        lut[ch] = i
+        lut[ch + 32] = i
+    lut[ord("N")] = 2   # the mySort 'N'->G quirk
+    lut[ord("n")] = 2
+    lines = raw.splitlines()
+    keys = np.empty(len(lines), np.uint64)
+    counts = np.empty(len(lines), np.int64)
+    w = 0
+    for ln in lines:
+        if not ln:
+            continue
+        kmer, _, cnt = ln.partition(b"\t")
+        if not cnt:
+            kmer, _, cnt = ln.partition(b" ")
+        if len(kmer) != m:
+            raise ValueError(
+                f"dump k-mer length {len(kmer)} != m={m} (line {w})"
+            )
+        codes = lut[np.frombuffer(kmer, np.uint8)]
+        if (codes == 255).any():
+            raise ValueError(f"invalid character in k-mer (line {w})")
+        k = np.uint64(0)
+        for c in codes:
+            k = (k << np.uint64(2)) | np.uint64(c)
+        keys[w] = k
+        counts[w] = int(cnt)
+        w += 1
+    order = np.argsort(keys[:w], kind="stable")
+    return keys[order], counts[order]

@@ -166,3 +166,33 @@ def test_count_kmers_matches_counter(coll):
             want[key] += 1
     got = dict(zip((int(k) for k in keys), (int(c) for c in counts)))
     assert got == dict(want)
+
+
+def test_read_kmer_dump_matches_device_counts(rng, tmp_path):
+    """Jellyfish text-dump ingest (reference interop: the mySort
+    fscanf format, src/mySort.c:54) reproduces the on-device counter's
+    (keys, counts) exactly, including the 'N'->G quirk."""
+    from debwt_tpu.count import count_kmers, read_kmer_dump
+    from debwt_tpu.types import SequenceCollection
+
+    reads = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(5)]
+    coll = SequenceCollection.from_reads(reads)
+    m = 20
+    keys, counts = count_kmers(coll, m=m)
+    # render the reference-format dump (kmer\tcount)
+    b = np.array(list("ACGT"))
+    lines = []
+    for k, c in zip(keys.tolist(), counts.tolist()):
+        s = "".join(b[(k >> (2 * (m - 1 - j))) & 3] for j in range(m))
+        lines.append(f"{s}\t{c}")
+    rng2 = np.random.default_rng(1)
+    rng2.shuffle(lines)          # dump order must not matter
+    # exercise the N->G quirk on one line
+    i = lines[0].index("G") if "G" in lines[0].split("\t")[0] else -1
+    if i >= 0:
+        lines[0] = lines[0][:i] + "N" + lines[0][i + 1:]
+    p = tmp_path / "dump.txt"
+    p.write_text("\n".join(lines) + "\n")
+    keys2, counts2 = read_kmer_dump(str(p), m=m)
+    assert (keys2 == keys).all()
+    assert (counts2 == counts).all()
