@@ -3,9 +3,10 @@
 The reference (and the first-cut pipeline here) materializes an edge
 table, aggregates it three ways, and joins the results back with
 binary searches (src/mySort.c + src/getKmer.c + src/INandOut.c). On
-TPU, sorts are bandwidth-cheap but random gathers are latency-bound,
-so the profitable shape is the opposite: materialize ONE row per text
-position and sort once.
+TPU, sorts are bandwidth-cheap but random gathers are latency-bound
+(measured on this backend: a full-size gather costs ~4x a one-operand
+sort of the same array), so the profitable shape is the opposite:
+materialize ONE row per text position and sort once.
 
 Key observations that collapse the pipeline:
 
@@ -21,15 +22,36 @@ Key observations that collapse the pipeline:
                      why tailSharp membership in the reference is the
                      same thing as a separator choice)
       multi-in     = any head row | >=2 distinct pred chars among
-                     non-head rows (presence bits via segment_max —
-                     the in-edge multiset IS the non-head rows)
+                     non-head rows (presence bits via one segmented
+                     suffix-OR — the in-edge multiset IS the non-head
+                     rows)
   * case-2 assembly is an elementwise broadcast of the segment's pred;
   * spIdx(p) ("first multi-out event at or after p", the reference's
-    LIFO queue discipline) = exclusive-cumsum of the SP-event mask.
+    LIFO queue discipline) = index in the sorted SP event list.
+
+One code path serves every N < 2^29: the sort keys are the m-window
+(node<<2 | choice) as a (hi, lo) uint32 pair, the third operand packs
+(class, position) into one int32 —
+
+    main row:    pos - 2^29          (negative; ascending position)
+    special row: spec_j<<3 | char6   (in [0, 2^29))
+    invalid row: 2^29 + row_index    (>= 2^29)
+
+— so within equal keys main < special < invalid, and the per-row
+facts (tail-window, head, pred) ride in a uint8 fourth operand that
+the 3-key sort carries as payload. Separator choices ('#'/'$',
+T-encoded in the text) collapse onto real-T rows in the key, which is
+harmless because any tail window already forces multi-out via the
+fact bit.
 
 Stage 1 (one jit) does everything up to the dynamic SP/blue counts;
 stage 2 (one jit, sized by those counts) ranks the SP string by prefix
-doubling and scatters the blue chars. Two device dispatches total.
+tripling and scatters the blue chars. Two device dispatches total.
+
+All full-length scans (separator distance, per-segment facts, fact
+broadcast) run as single-HBM-pass Pallas kernels (kernels/seg_or.py)
+on TPU — each XLA cummax/cummin they replace costs a full HBM pass
+AND ~20-30 s of compile time on the axon service.
 """
 
 from __future__ import annotations
@@ -40,25 +62,30 @@ import jax
 import jax.numpy as jnp
 
 from debwt_tpu import ops
+from debwt_tpu.kernels.seg_or import seg_scan_or, seg_suffix_or
 
 I32 = jnp.int32
 U8 = jnp.uint8
 KEY_MAX = jnp.uint32(0xFFFFFFFF)
 TAIL_PAD = 32     # == constants.TAIL_PAD (reference: src/collect#$.c:87-90)
+BIG = 1 << 29     # class encoding split point (R < 2^29 rows)
+POS_STOP = 1 << 29  # stop bit for position-valued OR-carry scans
 
 
 def _dist_from_sep(is_sep, n):
-    """dist[p] = (next separator position >= p) - p via reverse cummax
-    — no searchsorted."""
+    """dist[p] = (next separator position >= p) - p, as one segmented
+    suffix OR-carry: separator rows carry their own position plus the
+    stop bit; every row inherits the next separator's position.
+    Rows past the last separator (bucket padding) come out negative —
+    harmless, they are excluded by pos < n_real everywhere."""
     idx = jnp.arange(n, dtype=I32)
-    sep_pos = jnp.where(is_sep, idx, n + 1)
-    nxt = jax.lax.cummin(sep_pos, reverse=True)
+    words = jnp.where(is_sep, idx | POS_STOP, 0)
+    words = words.at[-1].set(words[-1] | POS_STOP)
+    nxt = seg_scan_or(words, stop_bit=POS_STOP) & (POS_STOP - 1)
     return nxt - idx
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m", "N", "_force_wide", "_force_two_scan")
-)
+@functools.partial(jax.jit, static_argnames=("m", "N"))
 def stage_graph(
     x2w,              # uint32[(N+pad)/16] packed 2-bit codes (seps as T)
     sep_pos,          # int32[n_cap] separator positions (pad: >= N)
@@ -69,8 +96,6 @@ def stage_graph(
     n_real,           # int32 scalar: true text length (N is the bucket)
     m: int,
     N: int,
-    _force_wide: bool = False,   # test hook: exercise the N>=2^24 path
-    _force_two_scan: bool = False,  # test hook: R>=2^27 fact broadcast
 ):
     k = m - 1
     x2p = ops.unpack_2bit_words(x2w, N + TAIL_PAD)
@@ -80,133 +105,66 @@ def stage_graph(
     dist = _dist_from_sep(is_sep, N)
     pos = jnp.arange(N, dtype=I32)
     is_main = (dist >= k) & (pos < n_real)
-    is_head = (pos == 0) | jnp.concatenate(
-        [jnp.zeros(1, bool), is_sep[:-1]]
-    )
+    is_head = jnp.concatenate([jnp.ones(1, bool), is_sep[:-1]])
     is_tailw = dist == k
-    # predecessor chars
-    prev = x2p[jnp.maximum(pos - 1, 0)].astype(U8)
+    # predecessor chars: a shift, never a gather
+    prev = jnp.concatenate([jnp.zeros(1, U8), x2p[: N - 1]])
     bwt_char = jnp.where(
         pos == 0, jnp.uint8(5), jnp.where(is_head, jnp.uint8(4), prev)
     )
     n_spec = spec_hi.shape[0]
     R = N + n_spec
+    assert R < BIG, R
+    # spec_ord = spec_j<<3 | char must stay below BIG even when n_spec
+    # approaches N (degenerate read length ~= k)
+    assert 8 * n_spec < BIG, n_spec
     spec_pad = (spec_hi == KEY_MAX) & (spec_lo == KEY_MAX)
     spec_j = jnp.arange(n_spec, dtype=I32)
-    predf = jnp.where(is_head, jnp.uint8(7), prev).astype(I32)
+    predf = jnp.where(is_head, jnp.uint8(7), prev)
 
-    if N < (1 << 24) and not _force_wide:
-        # ---- fast path: m-window 64-bit keys, 3 operands, 3 keys ----
-        # The m-window key IS (node key << 2 | next text char), so the
-        # sort groups by node AND by real choice char for free; the
-        # separator choices ('#'/'$', T-encoded in the text) collapse
-        # onto real-T rows, which is harmless because any tail window
-        # already forces multi-out. All row data packs into the i32
-        # third key:
-        #   main:    pos<<5 | tailw<<4 | head<<3 | pred    (class 0)
-        #   special: 1<<29 | true_rank<<3 | char           (class 1)
-        #   invalid: 3<<29 | i                             (class 3)
-        # Classes order main < special < invalid within equal keys;
-        # invalid rows only tie with the all-T m-window (the maximum
-        # key), so valid rows still occupy exactly [0, n_real).
-        whi, wlo = ops.window_keys(x2p[: N + m - 1], m)
-        s_hi2 = (spec_hi << 2) | (spec_lo >> 30)   # spec62<<2 | T-fill
-        s_lo2 = (spec_lo << 2) | 3
-        r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), s_hi2])
-        r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), s_lo2])
-        ord_main = jnp.where(
-            is_main,
-            (pos << 5)
-            | (is_tailw.astype(I32) << 4)
-            | (is_head.astype(I32) << 3)
-            | predf,
-            (3 << 29) | pos,
-        )
-        ord_spec = jnp.where(
-            spec_pad,
-            (3 << 29) | (N + spec_j),
-            (1 << 29) | (spec_j << 3) | spec_char6.astype(I32),
-        )
-        r_ord = jnp.concatenate([ord_main, ord_spec])
-        r_hi, r_lo, r_ord = jax.lax.sort((r_hi, r_lo, r_ord), num_keys=3)
-        r_class = (r_ord >> 29) & 3
-        is_node_row = r_class == 0
-        row_valid = r_class <= 1
-        r_pred = (r_ord & 7).astype(U8)
-        r_head = (r_ord & 8) != 0
-        r_tailw = (r_ord & 16) != 0
-        spec_char_row = (r_ord & 7).astype(U8)     # class-1 rows only
-        r_pos = (r_ord >> 5) & 0xFFFFFF            # class-0 rows only
-        is_spec1 = r_class == 1
-        node_lo = r_lo >> 2
-        newseg = jnp.ones(R, bool)
-        newseg = newseg.at[1:].set(
-            (r_hi[1:] != r_hi[:-1])
-            | (node_lo[1:] != node_lo[:-1])
-            | (r_class[1:] != r_class[:-1])
-        )
-        choice_chg = jnp.zeros(R, bool).at[1:].set(
-            (r_lo[1:] & 3) != (r_lo[:-1] & 3)
-        )
-        mo_ind = ((choice_chg & ~newseg) | r_tailw) & is_node_row
-    else:
-        # ---- wide path (N >= 2^24): (k-window, u16 class key, pos) ----
-        # 4 operands, 4 keys:
-        #   key3 (u16) = spec<<12 | choice<<8 | bwt_char<<4 | head<<3 | pred
-        #   key4 (i32) = position for main rows; N + (true_rank<<3|char)
-        #                for special rows.
-        # Folding the row payload into the keys is legal because rows
-        # with equal (window key, spec, choice) are interchangeable:
-        # case-2 segments share one fill char and case-3 internal order
-        # is decided by the blue sort in stage_finish.
-        U16 = jnp.uint16
-        whi, wlo = ops.window_keys(x2p[: N + k - 1], k)
-        nextc = x2p[pos + k].astype(U8)
-        choice = jnp.where(
-            is_tailw,
-            jnp.where(pos + k == n_real - 1, jnp.uint8(5), jnp.uint8(4)),
-            nextc,
-        )
-        r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), spec_hi])
-        r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), spec_lo])
-        pay_main = (
-            (bwt_char.astype(U16) << 4)
-            | (jnp.uint16(8) * is_head.astype(U16))
-            | predf.astype(U16)
-        )
-        k16_main = jnp.where(
-            is_main,
-            (choice.astype(U16) << 8) | pay_main,
-            jnp.uint16(2 << 12),
-        )
-        k16_spec = jnp.where(
-            spec_pad, jnp.uint16(2 << 12), jnp.uint16(1 << 12)
-        )
-        r_k16 = jnp.concatenate([k16_main, k16_spec])
-        spec_ord = N + (spec_j << 3) + spec_char6.astype(I32)
-        r_ord = jnp.concatenate([pos, spec_ord])
-        r_hi, r_lo, r_k16, r_ord = jax.lax.sort(
-            (r_hi, r_lo, r_k16, r_ord), num_keys=4
-        )
-        r_spec = (r_k16 >> 12).astype(U8)
-        r_choice = ((r_k16 >> 8) & 15).astype(U8)
-        r_pred = (r_k16 & 7).astype(U8)
-        r_head = (r_k16 & 8) != 0
-        spec_char_row = ((r_ord - N) & 7).astype(U8)
-        row_valid = r_spec != 2
-        is_node_row = r_spec == 0
-        is_spec1 = r_spec == 1
-        r_pos = r_ord
-        newseg = jnp.ones(R, bool)
-        newseg = newseg.at[1:].set(
-            (r_hi[1:] != r_hi[:-1])
-            | (r_lo[1:] != r_lo[:-1])
-            | (r_spec[1:] != r_spec[:-1])
-        )
-        choice_chg = jnp.zeros(R, bool).at[1:].set(
-            r_choice[1:] != r_choice[:-1]
-        )
-        mo_ind = ((choice_chg & ~newseg) | (r_choice >= 4)) & is_node_row
+    # ---- the ONE sort: m-window 64-bit keys, class+pos in ord ----
+    # The m-window key IS (node key << 2 | next text char), so the
+    # sort groups by node AND by real choice char for free; the
+    # separator choices ('#'/'$', T-encoded in the text) collapse
+    # onto real-T rows, which is harmless because any tail window
+    # already forces multi-out (the f8 tail bit).
+    whi, wlo = ops.window_keys(x2p[: N + m - 1], m)
+    s_hi2 = (spec_hi << 2) | (spec_lo >> 30)   # spec62<<2 | T-fill
+    s_lo2 = (spec_lo << 2) | 3
+    r_hi = jnp.concatenate([jnp.where(is_main, whi, KEY_MAX), s_hi2])
+    r_lo = jnp.concatenate([jnp.where(is_main, wlo, KEY_MAX), s_lo2])
+    ord_main = jnp.where(is_main, pos - BIG, BIG + pos)
+    ord_spec = jnp.where(
+        spec_pad, BIG + N + spec_j, (spec_j << 3) | spec_char6.astype(I32)
+    )
+    r_ord = jnp.concatenate([ord_main, ord_spec])
+    f8_main = (
+        (is_tailw.astype(U8) << 4) | (is_head.astype(U8) << 3) | predf
+    )
+    f8 = jnp.concatenate(
+        [jnp.where(is_main, f8_main, jnp.uint8(0)), jnp.zeros(n_spec, U8)]
+    )
+    r_hi, r_lo, r_ord, r_f8 = ops.msort((r_hi, r_lo, r_ord, f8), num_keys=3, site="graph")
+    is_node_row = r_ord < 0
+    is_spec1 = (r_ord >= 0) & (r_ord < BIG)
+    row_valid = r_ord < BIG
+    r_pred = (r_f8 & 7).astype(U8)
+    r_head = (r_f8 & 8) != 0
+    r_tailw = (r_f8 & 16) != 0
+    spec_char_row = (r_ord & 7).astype(U8)     # spec rows only
+    r_pos = r_ord + BIG                        # node rows only
+    node_lo = r_lo >> 2
+    cls = jnp.where(is_node_row, 0, jnp.where(is_spec1, 1, 2))
+    newseg = jnp.ones(R, bool)
+    newseg = newseg.at[1:].set(
+        (r_hi[1:] != r_hi[:-1])
+        | (node_lo[1:] != node_lo[:-1])
+        | (cls[1:] != cls[:-1])
+    )
+    choice_chg = jnp.zeros(R, bool).at[1:].set(
+        (r_lo[1:] & 3) != (r_lo[:-1] & 3)
+    )
+    mo_ind = ((choice_chg & ~newseg) | r_tailw) & is_node_row
 
     # main rows + spec rows == n_real exactly (they partition the
     # text); non-main and bucket-padding rows carry KEY_MAX and sort to
@@ -215,14 +173,7 @@ def stage_graph(
     # All per-segment facts are PRESENCE tests evaluated at the
     # segment-start rows: "does pred class c / a head row / a
     # multi-out indicator occur anywhere in my segment?". All six pack
-    # into one bit-word per row and ONE segmented suffix-OR
-    # (kernels/seg_or.py: one Pallas HBM pass on TPU, a log-shift XLA
-    # sweep elsewhere) — this replaced seven separate reverse-cummin
-    # scans, each a full HBM pass AND ~15-25 s of remote-compile time
-    # on the axon service. Per-row temporaries stay O(R) int32 (the
-    # old (6, R) stacked-cumsum form OOM'd a 16 GB chip at 140 Mbp).
-    from debwt_tpu.kernels.seg_or import seg_suffix_or
-
+    # into one bit-word per row and ONE segmented suffix-OR.
     pred_bit = jax.lax.shift_left(jnp.int32(1), r_pred.astype(I32)) & 15
     bits = (
         jnp.where(is_node_row, pred_bit, 0)
@@ -241,32 +192,21 @@ def stage_graph(
     # only meaningful when in_d == 1; clamp to its 2-bit field (the sum
     # reaches 6 for multi-pred segments and would bleed into idx bits)
     pred_single = jnp.where(in_d == 1, pred_sum, 0)
-    # narrow scans broadcast (seg start row, 4-bit facts) from the
-    # start row to the whole segment: monotone because idx rides the
-    # high bits. One scan carries idx<<4|facts when R < 2^27; otherwise
-    # two scans carry 2 fact bits each (idx<<2|bits), good to R < 2^29
-    # — the same bound as the packed scatter below.
-    assert R < (1 << 29), R
-    # wide-path spec_ord = N + (spec_j<<3) + char must stay in int32
-    # even when n_spec approaches N (degenerate read length ~= k)
-    assert N + 8 * n_spec < (1 << 31), (N, n_spec)
+    # two prefix OR-carry scans broadcast (seg start row index, 4-bit
+    # facts) from the start row to the whole segment; start rows carry
+    # the stop bit, non-start rows carry 0 bits, so the OR-carry IS
+    # the broadcast. Row indices fit below POS_STOP for all R < 2^29.
     idx = jnp.arange(R, dtype=I32)
     facts = (
         (pred_single << 2) | (mi_seg.astype(I32) << 1) | mo_seg.astype(I32)
     )
-    if R < (1 << 27) and not _force_two_scan:
-        bcast = jax.lax.cummax(jnp.where(newseg, (idx << 4) | facts, -1))
-        seg_start = bcast >> 4
-        f_row = bcast & 15
-    else:
-        b_lo = jax.lax.cummax(
-            jnp.where(newseg, (idx << 2) | (facts & 3), -1)
-        )
-        b_hi = jax.lax.cummax(
-            jnp.where(newseg, (idx << 2) | (facts >> 2), -1)
-        )
-        seg_start = b_lo >> 2
-        f_row = ((b_hi & 3) << 2) | (b_lo & 3)
+    stop_w = newseg.astype(I32) << 29
+    seg_start = seg_scan_or(
+        jnp.where(newseg, idx, 0) | stop_w, stop_bit=POS_STOP, prefix=True
+    ) & (POS_STOP - 1)
+    f_row = seg_scan_or(
+        jnp.where(newseg, facts, 0) | stop_w, stop_bit=POS_STOP, prefix=True
+    ) & 15
     mo_row = ((f_row & 1) != 0) & is_node_row
     mi_row = ((f_row & 2) != 0) & is_node_row
     pred_single_row = ((f_row >> 2) & 3).astype(U8)
@@ -278,11 +218,10 @@ def stage_graph(
 
     # ---- no scatter back to position space ----
     # Every SP/blue consumer works from ROW space: stage_finish
-    # compacts mo/mi rows (cumsum+searchsorted), reads positions and
-    # block starts from r_pos/seg_start at those rows, and recovers the
-    # per-position SP index with a searchsorted into the (tiny) sorted
-    # SP position list. TPU scatters cost ~2x gathers, and this drops
-    # the only full-length scatter in the pipeline.
+    # compacts mo/mi rows (one small sort), reads positions and block
+    # starts from r_pos/seg_start at those rows, and recovers the
+    # per-position SP index with a merged-sort count against the
+    # (tiny) sorted SP position list.
     L = jnp.sum(mo_row.astype(I32)) + jnp.sum(
         (spec_branch_pos < n_real).astype(I32)
     )
@@ -311,19 +250,18 @@ def stage_finish(
 
     # Compactions: stream-compact the j-th set row of a mask as
     # searchsorted(inclusive-cumsum, j+1) — one scan plus
-    # O(cap · log R) small gathers; no full-length scatter anywhere.
-    # When the output is a large fraction of R (pathological branch
-    # densities), the cap*log(R) gather rounds lose to a plain 1-2
-    # operand sort, so compaction switches strategy on the static
-    # cap/R ratio.
+    # O(cap · log R) small gathers. Random gathers are latency-bound
+    # on TPU (~15 ns/element measured), so past a few thousand rows a
+    # plain 1-2 operand sort is cheaper; compaction switches strategy
+    # on the static cap.
     def _compact_rows(mask, cap):
         cs = jnp.cumsum(mask.astype(I32))
         q = jnp.arange(cap, dtype=I32) + 1
         rows = jnp.searchsorted(cs, q, side="left").astype(I32)
         return jnp.minimum(rows, mask.shape[0] - 1), q <= cs[-1]
 
-    big_l = L_cap * 16 >= R
-    big_b = B_cap * 16 >= R
+    big_l = L_cap >= (1 << 16) or L_cap * 16 >= R
+    big_b = B_cap >= (1 << 16) or B_cap * 16 >= R
 
     # SP positions: multi-out node rows' positions merged with the
     # special-branch position list, sorted ascending (text order —
@@ -337,12 +275,12 @@ def stage_finish(
             allp = jnp.concatenate(
                 [allp, jnp.full(L_cap - allp.shape[0], N, I32)]
             )
-        sp_pos = jax.lax.sort((allp,), num_keys=1)[0][:L_cap]
+        sp_pos = ops.msort((allp,), num_keys=1, site="sp")[0][:L_cap]
     else:
         mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
         mo_positions = jnp.where(mo_ok, r_pos[mo_rows], N)
-        sp_pos = jax.lax.sort(
-            (jnp.concatenate([mo_positions, br]),), num_keys=1
+        sp_pos = ops.msort(
+            (jnp.concatenate([mo_positions, br]),), num_keys=1, site="sp"
         )[0][:L_cap]
     at = jnp.minimum(sp_pos + k, x2p.shape[0] - 1)
     base_c = x2p[at].astype(U8)
@@ -374,7 +312,7 @@ def stage_finish(
             pad_n = B_cap - bk.shape[0]
             bk = jnp.concatenate([bk, jnp.full(pad_n, N, I32)])
             sg = jnp.concatenate([sg, jnp.full(pad_n, N, I32)])
-        bp, b_base = jax.lax.sort((bk, sg), num_keys=1)
+        bp, b_base = ops.msort((bk, sg), num_keys=1, site="bk")
         bp, b_base = bp[:B_cap], b_base[:B_cap]
         bval = bp < N
         b_base = jnp.where(bval, b_base, N)
@@ -395,7 +333,7 @@ def stage_finish(
         pay = jnp.concatenate(
             [jnp.full(L_cap, -1, I32), jnp.arange(B_cap, dtype=I32)]
         )
-        k_s, p_s = jax.lax.sort((keys2, pay), num_keys=1)
+        k_s, p_s = ops.msort((keys2, pay), num_keys=1, site="mg")
         is_ev = (p_s < 0).astype(I32)
         before = jnp.cumsum(is_ev) - is_ev
         sp_idx = jnp.zeros(B_cap, I32).at[
@@ -407,12 +345,12 @@ def stage_finish(
     if N < (1 << 28):
         # pos<<3 | char fits i32; 3 operands, 3 distinct keys
         b_pc = (bp << 3) | bwt_char[bpc].astype(I32)
-        base_s, _, pc_s = jax.lax.sort((b_base, b_rank, b_pc), num_keys=3)
+        base_s, _, pc_s = ops.msort((b_base, b_rank, b_pc), num_keys=3, site="blue")
         char_s = (pc_s & 7).astype(U8)
     else:
         # N in [2^28, 2^29): position no longer fits beside the char
-        base_s, _, _, char_s = jax.lax.sort(
-            (b_base, b_rank, bp, bwt_char[bpc]), num_keys=3
+        base_s, _, _, char_s = ops.msort(
+            (b_base, b_rank, bp, bwt_char[bpc]), num_keys=3, site="blue"
         )
     idx = jnp.arange(B_cap, dtype=I32)
     first = jnp.ones(B_cap, bool).at[1:].set(base_s[1:] != base_s[:-1])
@@ -475,7 +413,7 @@ def _suffix_ranks(sp6, L_dyn):
         rank_ext = jnp.concatenate([rank, neg, neg])
         r2 = look(rank_ext, step)
         r3 = look(rank_ext, 2 * step)
-        r_s, r2_s, r3_s, i_s = jax.lax.sort((rank, r2, r3, idx), num_keys=3)
+        r_s, r2_s, r3_s, i_s = ops.msort((rank, r2, r3, idx), num_keys=3, site="rank")
         new = jnp.ones(M, I32)
         new = new.at[1:].set(
             (

@@ -88,6 +88,64 @@ def sort_by_key2(hi, lo, *values):
     return jax.lax.sort((hi, lo) + tuple(values), num_keys=2, is_stable=True)
 
 
+def msort(operands, num_keys: int = 1, min_pallas: int = 1 << 14,
+          site: str = ""):
+    """Multi-operand lexicographic sort routed to the Pallas bitonic
+    kernel on TPU (kernels/bsort.py) and jax.lax.sort elsewhere.
+
+    Accepts uint32 / int32 / uint8 / uint16 / bool operands; int32 KEY
+    operands are order-mapped to uint32 by flipping the sign bit (and
+    mapped back after), narrow operands ride as widened uint32. Both
+    backends sort UNSTABLY: callers must have distinct key tuples or
+    order-independent downstream semantics on ties (every engine call
+    site does — the row payload operand is always distinct).
+    """
+    operands = tuple(operands)
+    R = operands[0].shape[0]
+    env_min = os.environ.get("DEBWT_SORT_MIN_PALLAS")
+    if env_min:
+        min_pallas = int(env_min)
+    sites = os.environ.get("DEBWT_PALLAS_SITES")   # debug: restrict by site
+    if sites and site not in sites.split(","):
+        min_pallas = 1 << 31
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("DEBWT_NO_PALLAS") != "1"
+        and R >= min_pallas
+    )
+    if not use_pallas:
+        return jax.lax.sort(operands, num_keys=num_keys)
+    from debwt_tpu.kernels.bsort import bitonic_sort
+
+    SIGN = jnp.uint32(0x80000000)
+
+    def enc(o, is_key):
+        if o.dtype == jnp.uint32:
+            return o
+        if o.dtype == jnp.int32:
+            u = jax.lax.bitcast_convert_type(o, jnp.uint32)
+            return u ^ SIGN if is_key else u
+        return o.astype(jnp.uint32)     # uint8/uint16/bool widen
+
+    def dec(u, o, is_key):
+        if o.dtype == jnp.uint32:
+            return u
+        if o.dtype == jnp.int32:
+            return jax.lax.bitcast_convert_type(
+                u ^ SIGN if is_key else u, jnp.int32
+            )
+        return u.astype(o.dtype)
+
+    enc_ops = [
+        enc(o, j < num_keys) for j, o in enumerate(operands)
+    ]
+    out = bitonic_sort(tuple(enc_ops), num_keys=num_keys)
+    return tuple(
+        dec(u, o, j < num_keys)
+        for j, (u, o) in enumerate(zip(out, operands))
+    )
+
+
 def run_boundaries(hi, lo):
     """bool[n]: True at the first element of each equal-key run."""
     first = jnp.ones(hi.shape[0], dtype=bool)

@@ -99,56 +99,27 @@ def test_flags_and_sp_match_model(coll):
     assert int(B) == int(want_mi.sum())
 
 
-def test_wide_path_matches_fast_path(coll):
-    """The N>=2^24 (4-operand k-window) sort path must produce the same
-    outputs as the m-window fast path."""
+def test_ord_encoding_row_classes(coll):
+    """The unified sort path encodes (class, position) in one int32:
+    main = pos - 2^29, special in [0, 2^29), invalid >= 2^29. Check
+    the decoded row classes partition [0, n_real) exactly: valid rows
+    (mains + specials) occupy a prefix of the sorted order of length
+    n_real, and node-row positions are a permutation of the main
+    positions."""
     m = 32
-    sp = build_special(coll, m)
-    N = coll.bwt_len
-    n = coll.n_reads
-    N_cap = _bucket(N)
-    x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
-    x2p[:N] = coll.x2
-    s_hi, s_lo = _split64(sp.spec_tfill)
-
-    def pad(a, cap, fill):
-        out = np.full(cap, fill, dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return jnp.asarray(out)
-
-    from debwt_tpu import ops
-
-    ns_cap = _pow2(s_hi.shape[0])
-    args = (
-        jnp.asarray(ops.pack_2bit_words_host(x2p)),
-        pad(coll.sep.astype(np.int32), _pow2(n), N_cap),
-        pad(s_hi, ns_cap, np.uint32(0xFFFFFFFF)),
-        pad(s_lo, ns_cap, np.uint32(0xFFFFFFFF)),
-        pad(sp.spec_bwt6, ns_cap, 0),
-        pad(sp.spec_branch_pos.astype(np.int32),
-            _pow2(max(1, sp.spec_branch_pos.shape[0])), N_cap),
-        jnp.int32(N),
-    )
-    fast = engine.stage_graph(*args, m, N_cap)
-    wide = engine.stage_graph(*args, m, N_cap, _force_wide=True)
-    two = engine.stage_graph(*args, m, N_cap, _force_two_scan=True)
-
-    def canon(out):
-        # row order within segments differs between the paths; compare
-        # position-space semantics + the partial BWT + scalars
-        mo, mi, is_sp = _pos_masks(out, N_cap, coll, m)
-        (_, _, mo_row, mi_row, seg, r_pos, _bc, L, B, _x) = out
-        mi_row, seg, r_pos = map(np.asarray, (mi_row, seg, r_pos))
-        base = np.zeros(N_cap, np.int64)
-        mask = mi_row & (r_pos < N_cap)
-        base[r_pos[mask]] = seg[mask]
-        return (np.asarray(out[0]), mo, mi, is_sp, base,
-                int(L), int(B), np.asarray(out[1]))
-
-    ref = canon(fast)
-    for other in (wide, two):
-        for a, b in zip(ref, canon(other)):
-            assert (np.asarray(a) == np.asarray(b)).all()
+    out, N = _run_graph(coll, m)
+    (_b, dist, mo_row, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
+    r_pos = np.asarray(r_pos)
+    node = r_pos < _bucket(N)
+    n_main = int(node.sum())
+    d = np.asarray(dist)[:N]
+    want_main = np.nonzero(d >= m - 1)[0]
+    assert n_main == want_main.shape[0]
+    assert (np.sort(r_pos[node]) == want_main).all()
+    # flags only on node rows
+    mo_row, mi_row = np.asarray(mo_row), np.asarray(mi_row)
+    assert not (mo_row & ~node).any()
+    assert not (mi_row & ~node).any()
 
 
 def test_stage_finish_big_variants(coll):
