@@ -128,7 +128,8 @@ def main():
     t0 = time.time()
     result = build_bwt(coll, config)
     result.packed()
-    print(f"[bench] warmup (incl. compile): {time.time()-t0:.2f}s",
+    t_warm = time.time() - t0
+    print(f"[bench] warmup (incl. compile): {t_warm:.2f}s",
           file=sys.stderr)
     times = []
     for _ in range(reps):
@@ -140,10 +141,20 @@ def main():
     mbps = n_bases / 1e6 / t_mine
     print(f"[bench] pipeline best-of-{reps}: {t_mine:.3f}s = {mbps:.2f} Mbp/s",
           file=sys.stderr)
+    stages = {
+        k: round(v, 4) for k, v in (result.timings or {}).items()
+    }
+    if stages:
+        print(f"[bench] stage split (s): {stages}", file=sys.stderr)
 
     cache = {}
     if CACHE.exists():
         cache = json.loads(CACHE.read_text())
+    cache[f"tpu_mbp{mbp}_m{m}"] = {
+        "seconds": t_mine, "mbps": round(mbps, 3),
+        "warmup_s": round(t_warm, 2), "stages": stages,
+    }
+    CACHE.write_text(json.dumps(cache))
 
     if os.environ.get("DEBWT_BENCH_DIST") == "1":
         import jax
@@ -208,6 +219,9 @@ def main():
         "value": round(mbps, 3),
         "unit": "Mbp/s",
         "vs_baseline": round(vs, 3),
+        "input_mbp": round(n_bases / 1e6, 2),
+        "warmup_s": round(t_warm, 2),
+        "stages_s": stages,
     }))
 
 

@@ -42,6 +42,10 @@ def main(argv=None):
                    help="bound the LF walk to the last S chars (default: full)")
     p.add_argument("--check", action="store_true",
                    help="enable internal invariant checks")
+    p.add_argument("--timings", action="store_true",
+                   help="print per-stage wall time + Mbp/s (the "
+                        "reference prints these on every run, "
+                        "src/main.c:86-170)")
     args = p.parse_args(argv)
 
     # multi-host: join the jax.distributed cluster BEFORE any other
@@ -102,6 +106,11 @@ def main(argv=None):
     dt = time.time() - t1
     say(f"[debwt-tpu] BWT of {coll.bwt_len} chars in {dt:.2f}s "
         f"({coll.bwt_len/1e6/dt:.2f} Mbp/s)")
+    if args.timings and getattr(result, "timings", None):
+        mbp = coll.bwt_len / 1e6
+        for label, secs in result.timings.items():
+            say(f"[debwt-tpu]   {label:28s} {secs:8.3f}s"
+                f"  ({mbp / max(secs, 1e-9):8.2f} Mbp/s)")
 
     if rank0:
         write_bwt(result, args.obj)

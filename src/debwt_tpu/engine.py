@@ -307,7 +307,11 @@ def stage_finish(
     # pos) sort re-establishes anyway.
     if big_b:
         bk = jnp.where(mi_row, r_pos, N)
-        sg = seg_start
+        # mask the payload on non-mi rows too: pad rows share key N,
+        # and the sort is unstable, so live seg_start payloads on pad
+        # rows would surface nondeterministically to any future
+        # consumer — make them inert by construction
+        sg = jnp.where(mi_row, seg_start, N)
         if bk.shape[0] < B_cap:      # caps can exceed R on tiny inputs
             pad_n = B_cap - bk.shape[0]
             bk = jnp.concatenate([bk, jnp.full(pad_n, N, I32)])

@@ -23,9 +23,10 @@ Uses in the engine:
     broadcasts the start row's word (e.g. idx<<4 | facts) to every row
     of its segment — non-start rows carry 0 bits, so OR-carry equals
     the start value.
-  * seg_suffix_or with stop_bit 1<<30 and bits = separator-position at
-    separator rows: every row learns the position of the next
-    separator at or after it (the engine's dist computation).
+  * seg_suffix_or with stop_bit 1<<29 (engine.POS_STOP) and bits =
+    separator-position at separator rows: every row learns the
+    position of the next separator at or after it (the engine's dist
+    computation).
 
 Formulation: a Hillis-Steele sweep over the flattened (ROWS, 128)
 tile (log2(TILE) = 13 steps, all in VMEM via lane/sublane rolls)
@@ -154,7 +155,9 @@ def seg_scan_or(
     """
     R = words.shape[0]
     stop = stop_bit
-    assert stop > 0 and (stop & (stop - 1)) == 0 and stop <= (1 << 30)
+    # stop <= 1<<29 keeps EDGE = stop<<1 below the sign bit; no caller
+    # needs more (engine.POS_STOP = 1<<29 is the largest in use)
+    assert stop > 0 and (stop & (stop - 1)) == 0 and stop <= (1 << 29)
     if impl == "auto":
         on_tpu = (
             jax.default_backend() == "tpu"
@@ -172,12 +175,9 @@ def seg_scan_or(
     # array, which the left-to-right walk never propagates backwards.
     w = jnp.concatenate([words, jnp.full(pad, stop, jnp.int32)])
     w2d = w.reshape(-1, LANES)
-    # EDGE must be a bit unused by facts and stop; stop <= 1<<30 so
-    # bit 31 would be the sign bit — use the lowest free bit above
-    # stop when stop < 1<<30, else borrow... stop==1<<30 leaves only
-    # the sign bit; use it via uint-style masking (safe: EDGE is
-    # in-kernel only and always stripped by the carry mask).
-    edge = stop << 1 if stop < (1 << 30) else -(1 << 31)
+    # EDGE is the lowest free bit above stop (stop <= 1<<29 is
+    # asserted above, so EDGE never reaches the sign bit)
+    edge = stop << 1
     if prefix:
         idx_map = lambda i: (i, 0)
     else:

@@ -14,8 +14,10 @@ Algorithm: the engine's prefix-tripling rank loop
 prefix length 3h and needs
 
   1. lookaheads rank[i+h], rank[i+2h] — contiguous global shifts of a
-     block-sharded array = at most two `ppermute`s + a static slice
-     (never a random gather);
+     block-sharded array = log2(n) conditional power-of-two
+     `ppermute`s + one dynamic slice (never a random gather). h is a
+     TRACED scalar, so every tripling round runs the same single
+     compiled program — tie depth costs rounds, not compiles;
   2. a GLOBAL sort of (rank, rank+h, rank+2h, idx) tuples — a sample
      sort: local sort, splitters from an all_gathered sample,
      `all_to_all` routing by splitter range, local re-sort. Keys are
@@ -53,24 +55,41 @@ BIGK = jnp.int32(2**31 - 1)   # sort-to-tail sentinel for routed pads
 shard_map = jax.shard_map
 
 
-def _shift_left(rank, h: int, gi, L, n: int, Pb: int):
-    """Global left-shift by STATIC h of a block-sharded array:
-    out[j] = global_rank[gi[j] + h], or -1 past L. Sources are blocks
-    r+q and r+q+1 (q = h // Pb) — two ppermutes + a static slice."""
-    q, off = divmod(h, Pb)
-    if q >= n:
-        return jnp.full(Pb, -1, I32)
-    a = jax.lax.ppermute(rank, "d", [(i + q, i) for i in range(n - q)])
-    if off == 0:
-        res = a
-    else:
-        if q + 1 < n:
-            b = jax.lax.ppermute(
-                rank, "d", [(i + q + 1, i) for i in range(n - q - 1)]
+def _blk_shift_left(x, q, n: int):
+    """Block left-shift by TRACED q blocks over the 1-D mesh axis:
+    device i ends up with device i+q's block (devices past the edge
+    hold garbage — callers mask by global index). Decomposed into
+    log2(n) conditional power-of-two ppermutes so the communication
+    pattern stays static while the distance is data."""
+    j = 1
+    while j < n:
+        dist = j
+
+        def do(x, dist=dist):
+            return jax.lax.ppermute(
+                x, "d", [(i + dist, i) for i in range(n - dist)]
             )
-        else:
-            b = jnp.zeros_like(rank)
-        res = jnp.concatenate([a[off:], b[:off]])
+
+        x = jax.lax.cond((q & j) != 0, do, lambda x: x, x)
+        j *= 2
+    return x
+
+
+def _shift_left(rank, h, gi, L, n: int, Pb: int):
+    """Global left-shift by TRACED h of a block-sharded array:
+    out[j] = global_rank[gi[j] + h], or -1 past L. Sources are blocks
+    r+q and r+q+1 (q = h // Pb): two dynamic block shifts + one
+    dynamic slice. h is data, not program structure — every tripling
+    round reuses ONE compiled program."""
+    q = h // Pb
+    off = h - q * Pb
+    a = _blk_shift_left(rank, q, n)
+    b = _blk_shift_left(rank, q + 1, n)
+    res = jax.lax.dynamic_slice(
+        jnp.concatenate([a, b]), (off,), (Pb,)
+    )
+    # any lane whose source block fell off the mesh edge has
+    # gi + h >= n*Pb >= L, so the mask also covers the garbage lanes
     return jnp.where(gi + h < L, res, -1)
 
 
@@ -85,14 +104,13 @@ def _lex_gt4(a1, a2, a3, a4, b1, b2, b3, b4):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_round(mesh: Mesh, n: int, Pb: int, h: int, n_samp: int,
-                cap_r: int):
+def _make_round(mesh: Mesh, n: int, Pb: int, n_samp: int, cap_r: int):
     @jax.jit
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P("d"), P()),
+        shard_map, mesh=mesh, in_specs=(P("d"), P(), P()),
         out_specs=(P("d"), P(), P()),
     )
-    def round_fn(rank_blk, L):
+    def round_fn(rank_blk, L, h):
         rank = rank_blk[0]
         r = jax.lax.axis_index("d")
         gi = r.astype(I32) * Pb + jnp.arange(Pb, dtype=I32)
@@ -222,9 +240,9 @@ def sp_ranks_sharded(mesh: Mesh, sp6_blk, L: int, slack: int = 2):
     cap_r = min(n * Pb, slack * Pb)
     h = 8
     M = n * Pb
+    round_fn = _make_round(mesh, n, Pb, n_samp, cap_r)  # ONE program
     while h < M:
-        round_fn = _make_round(mesh, n, Pb, h, n_samp, cap_r)
-        rank, over, done = round_fn(rank, L_j)
+        rank, over, done = round_fn(rank, L_j, jnp.int32(h))
         over_h, done_h = jax.device_get((over, done))   # one sync/round
         if bool(np.asarray(over_h)):
             return None

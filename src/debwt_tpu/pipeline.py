@@ -38,6 +38,10 @@ class BwtResult:
     packed_words: np.ndarray | None = None   # uint32 device packing
     _bwt6: Any = None                        # np.ndarray or device array
     _n: int = 0
+    # per-stage wall seconds recorded by the producing tier (the
+    # reference prints these on every run, src/main.c:86-170; here the
+    # CLI --timings flag and bench.py surface them)
+    timings: Any = None
 
     @property
     def bwt6(self) -> np.ndarray:
@@ -94,10 +98,13 @@ def build_bwt(
 ) -> BwtResult:
     config = config or PipelineConfig()
     trace = os.environ.get("DEBWT_TRACE") == "1"
+    timings: dict[str, float] = {}
 
     def _t(label, t0):
+        dt = time.time() - t0
+        timings[label] = timings.get(label, 0.0) + dt
         if trace:
-            print(f"[debwt-tpu trace] {label:24s} {time.time()-t0:8.3f}s",
+            print(f"[debwt-tpu trace] {label:24s} {dt:8.3f}s",
                   file=sys.stderr)
         return time.time()
 
@@ -178,4 +185,5 @@ def build_bwt(
         packed_words=packed_d,
         _bwt6=bwt6_d,
         _n=N,
+        timings=timings,
     )
