@@ -210,6 +210,25 @@ def stage_graph(
     mo_row = ((f_row & 1) != 0) & is_node_row
     mi_row = ((f_row & 2) != 0) & is_node_row
     pred_single_row = ((f_row >> 2) & 3).astype(U8)
+    # SP event keys: pos<<3 | char6, one uint32 per multi-out row. The
+    # SP char is the base k ahead (src/generateSP.c:626-651) — which
+    # IS the m-window's last char (r_lo & 3), or '#'/'$' for tail
+    # windows — so it costs ZERO gathers here, where stage_finish used
+    # to gather x2p/dist at L_cap positions. Positions are unique, so
+    # sorting these keys yields the SP stream in text order with the
+    # char riding along. SENT = 0xFFFFFFFF sorts pads to the tail and
+    # decodes to pos 2^29-1 >= any bucket cap.
+    is_dollar_row = r_tailw & (r_pos + (m - 1) == n_real - 1)
+    sp6_row = jnp.where(
+        r_tailw,
+        jnp.where(is_dollar_row, jnp.uint32(5), jnp.uint32(4)),
+        r_lo & 3,
+    )
+    ev_key = jnp.where(
+        mo_row,
+        (r_pos.astype(jnp.uint32) << 3) | sp6_row,
+        jnp.uint32(0xFFFFFFFF),
+    )
     fill_row = jnp.where(
         is_spec1,
         spec_char_row,
@@ -232,7 +251,7 @@ def stage_graph(
     # x2p stays device-resident for stage_finish (no re-transfer)
     r_pos_node = jnp.where(is_node_row, r_pos, N)
     return (
-        bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos_node,
+        bwt6_partial, ev_key, mi_row, seg_start, r_pos_node,
         bwt_char, L, B, x2p,
     )
 
@@ -241,54 +260,40 @@ def stage_graph(
     jax.jit, static_argnames=("m", "N", "L_cap", "B_cap", "n_sharp_cap")
 )
 def stage_finish(
-    x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+    x2p, ev_key, mi_row, seg_start, r_pos, bwt_char,
     bwt6_partial, spec_branch_pos, n_real,
     m: int, N: int, L_cap: int, B_cap: int, n_sharp_cap: int = 1,
 ):
     k = m - 1
-    R = mo_row.shape[0]
+    SENT = jnp.uint32(0xFFFFFFFF)
 
-    # Compactions: stream-compact the j-th set row of a mask as
-    # searchsorted(inclusive-cumsum, j+1) — one scan plus
-    # O(cap · log R) small gathers. Random gathers are latency-bound
-    # on TPU (~15 ns/element measured), so past a few thousand rows a
-    # plain 1-2 operand sort is cheaper; compaction switches strategy
-    # on the static cap.
     def _compact_rows(mask, cap):
         cs = jnp.cumsum(mask.astype(I32))
         q = jnp.arange(cap, dtype=I32) + 1
         rows = jnp.searchsorted(cs, q, side="left").astype(I32)
         return jnp.minimum(rows, mask.shape[0] - 1), q <= cs[-1]
 
-    big_l = L_cap >= (1 << 16) or L_cap * 16 >= R
-    big_b = B_cap >= (1 << 16) or B_cap * 16 >= R
-
-    # SP positions: multi-out node rows' positions merged with the
-    # special-branch position list, sorted ascending (text order —
-    # the SP string is the event sequence). The two sets are disjoint:
-    # special-branch positions are within k of a separator, so they
-    # are never main/node rows.
-    br = jnp.where(spec_branch_pos < n_real, spec_branch_pos, N)
-    if big_l:
-        allp = jnp.concatenate([jnp.where(mo_row, r_pos, N), br])
-        if allp.shape[0] < L_cap:    # caps can exceed R on tiny inputs
-            allp = jnp.concatenate(
-                [allp, jnp.full(L_cap - allp.shape[0], N, I32)]
-            )
-        sp_pos = ops.msort((allp,), num_keys=1, site="sp")[0][:L_cap]
-    else:
-        mo_rows, mo_ok = _compact_rows(mo_row, L_cap)
-        mo_positions = jnp.where(mo_ok, r_pos[mo_rows], N)
-        sp_pos = ops.msort(
-            (jnp.concatenate([mo_positions, br]),), num_keys=1, site="sp"
-        )[0][:L_cap]
-    at = jnp.minimum(sp_pos + k, x2p.shape[0] - 1)
-    base_c = x2p[at].astype(U8)
-    d_at = dist[jnp.minimum(sp_pos, N - 1)]
-    is_sepc = d_at == k
-    is_dollar = is_sepc & (sp_pos + k == n_real - 1)
-    sp6 = jnp.where(is_sepc, jnp.where(is_dollar, 5, 4), base_c).astype(U8)
-    sp6 = jnp.where(sp_pos < N, sp6, 0)
+    # SP stream: node events arrive as ready-made pos<<3|char keys
+    # from stage_graph (ev_key); special-branch events (tiny: at most
+    # n_reads*k rows) get the same packing here — their SP char is the
+    # raw text char k ahead, since special positions always have
+    # dist < k (build_special: d in [0, k-1]), so the separator-tail
+    # branch can never apply to them. One 1-operand sort yields the SP
+    # stream in text order with the char riding in the low bits — no
+    # post-sort gathers (positions are unique, so the packed order is
+    # the position order).
+    brv = spec_branch_pos < n_real
+    br = jnp.where(brv, spec_branch_pos, N)
+    br_c = x2p[jnp.minimum(br + k, x2p.shape[0] - 1)].astype(jnp.uint32)
+    br_key = jnp.where(brv, (br.astype(jnp.uint32) << 3) | br_c, SENT)
+    allk = jnp.concatenate([ev_key, br_key])
+    if allk.shape[0] < L_cap:        # caps can exceed R on tiny inputs
+        allk = jnp.concatenate(
+            [allk, jnp.full(L_cap - allk.shape[0], SENT, jnp.uint32)]
+        )
+    key_s = ops.msort((allk,), num_keys=1, site="sp")[0][:L_cap]
+    sp_pos = (key_s >> 3).astype(I32)    # SENT>>3 = 2^29-1 >= any cap
+    sp6 = jnp.where(sp_pos < N, (key_s & 7).astype(U8), jnp.uint8(0))
     # Suffix ranks over the true length L (end-of-string handled as a
     # sentinel smaller than every char — identical ordering to the
     # previous zero-tail semantics, since 0 is the minimum char: the
@@ -302,49 +307,37 @@ def stage_finish(
     # keeps equal-(block, rank) entries in ascending-position order
     # (the reference's queue-drain discipline,
     # src/generateSP.c:662-680) while the char rides the key — 3
-    # operands, 3 distinct keys, no payload. The blue-entry order out
-    # of the compaction is sorted-row order, which the (base, rank,
-    # pos) sort re-establishes anyway.
-    if big_b:
-        bk = jnp.where(mi_row, r_pos, N)
-        # mask the payload on non-mi rows too: pad rows share key N,
-        # and the sort is unstable, so live seg_start payloads on pad
-        # rows would surface nondeterministically to any future
-        # consumer — make them inert by construction
-        sg = jnp.where(mi_row, seg_start, N)
-        if bk.shape[0] < B_cap:      # caps can exceed R on tiny inputs
-            pad_n = B_cap - bk.shape[0]
-            bk = jnp.concatenate([bk, jnp.full(pad_n, N, I32)])
-            sg = jnp.concatenate([sg, jnp.full(pad_n, N, I32)])
-        bp, b_base = ops.msort((bk, sg), num_keys=1, site="bk")
-        bp, b_base = bp[:B_cap], b_base[:B_cap]
-        bval = bp < N
-        b_base = jnp.where(bval, b_base, N)
-    else:
-        mi_rows, mi_ok = _compact_rows(mi_row, B_cap)
-        bp = jnp.where(mi_ok, r_pos[mi_rows], N)
-        bval = bp < N
-        b_base = jnp.where(bval, seg_start[mi_rows], N)
+    # operands, 3 distinct keys, no payload.
+    bk = jnp.where(mi_row, r_pos, N)
+    # mask the payload on non-mi rows too: pad rows share key N,
+    # and the sort is unstable, so live seg_start payloads on pad
+    # rows would surface nondeterministically to any future
+    # consumer — make them inert by construction
+    sg = jnp.where(mi_row, seg_start, N)
+    if bk.shape[0] < B_cap:          # caps can exceed R on tiny inputs
+        pad_n = B_cap - bk.shape[0]
+        bk = jnp.concatenate([bk, jnp.full(pad_n, N, I32)])
+        sg = jnp.concatenate([sg, jnp.full(pad_n, N, I32)])
+    bp, b_base = ops.msort((bk, sg), num_keys=1, site="bk")
+    bp, b_base = bp[:B_cap], b_base[:B_cap]
+    bval = bp < N
+    b_base = jnp.where(bval, b_base, N)
     bpc = jnp.minimum(bp, N - 1)
-    # sp index of a position = #SP events strictly before it
-    if big_b or big_l:
-        # merged-sort counting instead of B_cap*log(L_cap) gather
-        # rounds: events keyed 2p+1 sort AFTER a query keyed 2p, so an
-        # event AT the query position is (correctly) not counted
-        keys2 = jnp.concatenate(
-            [jnp.minimum(sp_pos, N) * 2 + 1, bp * 2]
-        )
-        pay = jnp.concatenate(
-            [jnp.full(L_cap, -1, I32), jnp.arange(B_cap, dtype=I32)]
-        )
-        k_s, p_s = ops.msort((keys2, pay), num_keys=1, site="mg")
-        is_ev = (p_s < 0).astype(I32)
-        before = jnp.cumsum(is_ev) - is_ev
-        sp_idx = jnp.zeros(B_cap, I32).at[
-            jnp.where(p_s >= 0, p_s, B_cap)
-        ].set(before, mode="drop")
-    else:
-        sp_idx = jnp.searchsorted(sp_pos, bp, side="left").astype(I32)
+    # sp index of a position = #SP events strictly before it, by
+    # merged-sort counting: events keyed 2p+1 sort AFTER a query keyed
+    # 2p, so an event AT the query position is (correctly) not counted
+    keys2 = jnp.concatenate(
+        [jnp.minimum(sp_pos, N) * 2 + 1, bp * 2]
+    )
+    pay = jnp.concatenate(
+        [jnp.full(L_cap, -1, I32), jnp.arange(B_cap, dtype=I32)]
+    )
+    k_s, p_s = ops.msort((keys2, pay), num_keys=1, site="mg")
+    is_ev = (p_s < 0).astype(I32)
+    before = jnp.cumsum(is_ev) - is_ev
+    sp_idx = jnp.zeros(B_cap, I32).at[
+        jnp.where(p_s >= 0, p_s, B_cap)
+    ].set(before, mode="drop")
     b_rank = rank[jnp.minimum(sp_idx, L_cap - 1)]
     if N < (1 << 28):
         # pos<<3 | char fits i32; 3 operands, 3 distinct keys
@@ -382,9 +375,9 @@ def _suffix_ranks(sp6, L_dyn):
     on (rank[i], rank[i+h], rank[i+2h]), covering prefix 3h) inside a
     while_loop that stops as soon as all ranks are distinct.
 
-    Ranks are order-encodings, not dense: round 0 packs 8 biased chars
-    (0 = past-end sentinel, 1..6 = chars, 3 bits each) into one int32,
-    so the loop starts at h=8; the returned ranks are whatever dense
+    Ranks are order-encodings, not dense: round 0 packs 10 biased chars
+    (0 = past-end sentinel, 1..6 = chars, 3 bits each = 30 bits) into
+    one int32, so the loop starts at h=10; the returned ranks are whatever dense
     numbering the last round produced — callers use them only as sort
     keys. Capacity-pad rows (i >= L_dyn) get distinct negative ranks so
     they can never stall the all-distinct early exit, and every
@@ -398,7 +391,7 @@ def _suffix_ranks(sp6, L_dyn):
     """
     M = sp6.shape[0]
     idx = jnp.arange(M, dtype=I32)
-    H0 = 8
+    H0 = 10
     real = idx < L_dyn
     c = jnp.where(real, sp6.astype(I32) + 1, 0)
     c_pad = jnp.concatenate([c, jnp.zeros(H0, I32)])

@@ -43,6 +43,7 @@ import dataclasses
 import functools
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -444,7 +445,16 @@ def build_bwt_ooc(
         if trace:
             print(f"[debwt-tpu ooc] {msg}", file=sys.stderr)
 
+    timings: dict = {}
+    _t0 = [time.time()]
+
+    def _mark(label):
+        now = time.time()
+        timings[label] = timings.get(label, 0.0) + (now - _t0[0])
+        _t0[0] = now
+
     sp = build_special(coll, m)
+    _mark("special module (host)")
     nb = ooc.n_buckets
     C = min(ooc.chunk, _pow2(N))
     n_chunks = -(-N // C)
@@ -556,6 +566,7 @@ def build_bwt_ooc(
         if pending is not None:
             _bin_rows(*pending)
         store.close()
+        _mark("pass A (keys + binning)")
         _say(f"pass A: {n_chunks} chunks of {C}, bucket rows "
              f"max={int(store.sizes.max())} total={int(store.sizes.sum())}")
         if ckpt:
@@ -709,6 +720,7 @@ def build_bwt_ooc(
             _ckpt_save(ooc.spill_dir, state)
             store.delete(b)   # safe only after the manifest bump
     assert base == N, (base, N)
+    _mark("pass B (bucket sorts)")
     _say(f"pass B: {nb} buckets, device rows/bucket = {max_dev_rows}")
 
     # ---- SP string: events in text order, ranked on device ----
@@ -735,6 +747,7 @@ def build_bwt_ooc(
         is_sepc, np.where(sp_pos + k == N - 1, 5, 4), x2p[sp_pos + k]
     ).astype(np.uint8)
     rank = _sp_ranks_host(sp6, L, ooc, mesh, _say)
+    _mark("SP rank")
     _say(f"SP string: {L} events"
          + (" (sharded ranking)" if L > ooc.sp_cap else ""))
 
@@ -745,6 +758,7 @@ def build_bwt_ooc(
         b_char = np.concatenate([p[2] for p in blue_parts])
         coords, chars = blue_coordinates(b_base, b_pos, b_char, rank, sp_pos)
         bwt6[coords] = chars
+    _mark("blue fill")
     _say(f"blue entries: {sum(p[0].shape[0] for p in blue_parts)}")
 
     if stats is not None:
@@ -752,6 +766,7 @@ def build_bwt_ooc(
             bucket_cap=cap, chunk=C, n_chunks=n_chunks, sp_len=L,
             n_blue=sum(p[0].shape[0] for p in blue_parts),
             sharded_rank=L > ooc.sp_cap,
+            stage_s={k_: round(v, 3) for k_, v in timings.items()},
         )
     if ckpt:
         bwt6.flush()
@@ -764,4 +779,5 @@ def build_bwt_ooc(
         dollar_pos=int(dollar[0]),
         _bwt6=bwt6,
         _n=N,
+        timings=timings,
     )

@@ -155,15 +155,18 @@ def build_bwt(
         jnp.int32(N),
         m, N_cap,
     )
-    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
+    (bwt6_partial, ev_key, mi_row, seg_start, r_pos,
      bwt_char, L, B, x2p_d) = out
     L, B = int(L), int(B)
     t0 = _t("stage_graph (+h2d, sync)", t0)
-    L_cap, B_cap = _pow2(L), _pow2(B)
+    # eighth-power buckets (like N_cap), not powers of two: at 140 Mbp
+    # the measured L is 22M and _pow2 would pad every L-sized array
+    # (the rank loop's sorts, the merged count) by 53%
+    L_cap, B_cap = _bucket(L), _bucket(B)
 
     bwt6_d, packed_d, sharp_d, dollar_d, n_sharp_d, counts_d = (
         engine.stage_finish(
-            x2p_d, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+            x2p_d, ev_key, mi_row, seg_start, r_pos, bwt_char,
             bwt6_partial, spec_branch_d, jnp.int32(N),
             m, N_cap, L_cap, B_cap, _pow2(n),
         )

@@ -55,9 +55,11 @@ def coll():
 
 def _pos_masks(out, N, coll, m):
     """Reconstruct position-space mo/mi masks from the row-space
-    outputs (mo_row/mi_row flags at rows, positions in r_pos)."""
-    (_, _, mo_row, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
-    mo_row, mi_row, r_pos = map(np.asarray, (mo_row, mi_row, r_pos))
+    outputs (multi-out rows carry a pos<<3|char ev_key; mi_row flags
+    at rows, positions in r_pos)."""
+    (_, ev_key, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
+    ev_key, mi_row, r_pos = map(np.asarray, (ev_key, mi_row, r_pos))
+    mo_row = ev_key != np.uint32(0xFFFFFFFF)
     mo = np.zeros(N, bool)
     mo[r_pos[mo_row & (r_pos < N)]] = True
     mi = np.zeros(N, bool)
@@ -74,7 +76,7 @@ def test_flags_and_sp_match_model(coll):
     m = 32
     _, tr = build_model(coll, m=m, trace=True)
     out, N = _run_graph(coll, m)
-    L, B = out[7], out[8]
+    L, B = out[6], out[7]
     _mo, mi_h, is_sp_h = _pos_masks(out, N, coll, m)
     sp_pos = np.nonzero(is_sp_h)[0]
     assert (sp_pos == tr.sp_positions).all()
@@ -108,43 +110,49 @@ def test_ord_encoding_row_classes(coll):
     positions."""
     m = 32
     out, N = _run_graph(coll, m)
-    (_b, dist, mo_row, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
+    (_b, ev_key, mi_row, _seg, r_pos, _bc, _L, _B, _x) = out
     r_pos = np.asarray(r_pos)
     node = r_pos < _bucket(N)
     n_main = int(node.sum())
-    d = np.asarray(dist)[:N]
+    nxt = np.searchsorted(coll.sep, np.arange(N))
+    d = coll.sep[nxt] - np.arange(N)
     want_main = np.nonzero(d >= m - 1)[0]
     assert n_main == want_main.shape[0]
     assert (np.sort(r_pos[node]) == want_main).all()
     # flags only on node rows
-    mo_row, mi_row = np.asarray(mo_row), np.asarray(mi_row)
+    mo_row = np.asarray(ev_key) != np.uint32(0xFFFFFFFF)
+    mi_row = np.asarray(mi_row)
     assert not (mo_row & ~node).any()
     assert not (mi_row & ~node).any()
+    # ev_key positions match the row's r_pos and chars are in range
+    sel = mo_row & node
+    assert ((np.asarray(ev_key)[sel] >> 3) == r_pos[sel]).all()
+    assert (np.asarray(ev_key)[sel] & 7 < 6).all()
 
 
-def test_stage_finish_big_variants(coll):
-    """Inflating L_cap/B_cap past R/16 flips stage_finish to the
-    sort-based compaction + merged-sort rank lookup; outputs must be
-    identical to the searchsorted path."""
+def test_stage_finish_cap_insensitive(coll):
+    """stage_finish outputs must not depend on the (bucketed) L_cap /
+    B_cap sizing: tight caps and wildly inflated caps give identical
+    results (pad rows are inert by construction)."""
     m = 32
     out, N = _run_graph(coll, m)
-    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
+    (bwt6_partial, ev_key, mi_row, seg_start, r_pos,
      bwt_char, L, B, x2p) = out
     sp = build_special(coll, m)
     N_cap = _bucket(N)
-    R = int(mo_row.shape[0])
+    R = int(ev_key.shape[0])
     spec_branch = np.full(_pow2(max(1, sp.spec_branch_pos.shape[0])),
                           N_cap, np.int32)
     spec_branch[: sp.spec_branch_pos.shape[0]] = sp.spec_branch_pos
     spec_branch = jnp.asarray(spec_branch)
     small = engine.stage_finish(
-        x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+        x2p, ev_key, mi_row, seg_start, r_pos, bwt_char,
         bwt6_partial, spec_branch, jnp.int32(N),
-        m, N_cap, _pow2(int(L)), _pow2(int(B)), _pow2(coll.n_reads),
+        m, N_cap, _bucket(int(L)), _bucket(int(B)), _pow2(coll.n_reads),
     )
-    big_cap = _pow2(max(int(L), int(B), (R + 15) // 16))
+    big_cap = _pow2(max(int(L), int(B), (R + 15) // 16)) * 2
     big = engine.stage_finish(
-        x2p, dist, mo_row, mi_row, seg_start, r_pos, bwt_char,
+        x2p, ev_key, mi_row, seg_start, r_pos, bwt_char,
         bwt6_partial, spec_branch, jnp.int32(N),
         m, N_cap, big_cap, big_cap, _pow2(coll.n_reads),
     )

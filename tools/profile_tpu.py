@@ -99,16 +99,16 @@ def main(mbp=1.0):
 
     g = timeit("stage_graph",
                lambda: engine.stage_graph(*args, m, N_cap))
-    (bwt6_partial, dist, mo_row, mi_row, seg_start, r_pos,
+    (bwt6_partial, ev_key, mi_row, seg_start, r_pos,
      bwt_char, L, B, x2p_d) = g
     t0 = time.perf_counter()
     L, B = int(L), int(B)
     print(f"  {'L/B sync':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms  "
           f"(L={L}, B={B})")
-    L_cap, B_cap = _pow2(L), _pow2(B)
+    L_cap, B_cap = _bucket(L), _bucket(B)
     f = timeit("stage_finish",
                lambda: engine.stage_finish(
-                   x2p_d, dist, mo_row, mi_row, seg_start, r_pos,
+                   x2p_d, ev_key, mi_row, seg_start, r_pos,
                    bwt_char, bwt6_partial, spec_branch_d, jnp.int32(N),
                    m, N_cap, L_cap, B_cap, _pow2(n)))
     t0 = time.perf_counter()
