@@ -48,6 +48,18 @@ caller XOR-ing the sign bit before and after (ops.msort does this).
 Ties on the full key tuple may be emitted in any order (the network is
 not stable) — every engine call site either has distinct key tuples or
 order-independent downstream semantics (see ops.msort).
+
+STATUS — opt-in only (round 4). In round 3 this kernel, embedded at
+five msort sites of one jitted stage (including inside a
+lax.while_loop), crashed the SECOND build_bwt call on real hardware
+with INVALID_ARGUMENT for large branch-dense inputs, while the
+ISOLATED kernel passes hardware parity including repeat-execution at
+2^21 rows (tests/test_tpu_smoke.py::test_bsort_tpu_parity_repeat) —
+i.e. the failure needs the composition, not the kernel alone.
+jax.lax.sort also measured as fast or faster at every size tried, so
+ops.msort routes to XLA's sort unless DEBWT_SORT_MIN_PALLAS is set.
+Keep the flag off in production until a full pipeline run with the
+flag survives the on-TPU lane.
 """
 
 from __future__ import annotations
