@@ -52,7 +52,7 @@ import numpy as np
 from debwt_tpu import constants as K
 from debwt_tpu import ops
 from debwt_tpu.engine import _suffix_ranks
-from debwt_tpu.pipeline import BwtResult, _pow2
+from debwt_tpu.pipeline import BwtResult, _bucket, _pow2
 from debwt_tpu.special import build_special
 from debwt_tpu.types import PipelineConfig, SequenceCollection
 
@@ -358,7 +358,9 @@ def _sp_ranks_host(sp6: np.ndarray, L: int, ooc: "OocConfig", mesh,
     if L == 0:
         return np.empty(0, np.int32)
     if L <= ooc.sp_cap:
-        Lc = _pow2(L)
+        # eighth-power bucket, not _pow2: at L = 157M (1 Gbp input) a
+        # power-of-two cap pads every rank-round sort by up to 53%
+        Lc = _bucket(L)
         ext = np.zeros(Lc, dtype=np.uint8)
         ext[:L] = sp6
         return np.asarray(jax.device_get(

@@ -162,7 +162,7 @@ def test_cli_end_to_end(tmp_path, fasta_file):
     repo_root = os.path.join(os.path.dirname(__file__), "..")
     rc = subprocess.run(
         [sys.executable, "-m", "debwt_tpu.cli", "-o", str(obj), "-k", "32",
-         "--verify", str(path)],
+         "--verify", "--timings", str(path)],
         capture_output=True, text=True,
         env={"PYTHONPATH": "src", "PATH": "/usr/bin:/bin",
              "JAX_PLATFORMS": "cpu", "HOME": "/root"},
@@ -174,6 +174,9 @@ def test_cli_end_to_end(tmp_path, fasta_file):
     g = golden_bwt(coll)
     assert open(obj, "rb").read() == g.packed()
     assert "LF invertibility: OK" in rc.stderr
+    # --timings prints the per-stage breakdown (reference prints these
+    # on every run, src/main.c:86-170)
+    assert "stage_graph" in rc.stderr and "Mbp/s" in rc.stderr
 
 
 def test_fastq(tmp_path, rng):

@@ -64,10 +64,11 @@ class SpillWatcher(threading.Thread):
         super().__init__(daemon=True)
         self.root, self.interval = root, interval
         self.peak = 0
-        self._stop = threading.Event()
+        # NB: must not be named _stop — threading.Thread uses that name
+        self._halt = threading.Event()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             total = 0
             try:
                 for p in self.root.rglob("*"):
@@ -78,10 +79,10 @@ class SpillWatcher(threading.Thread):
             except OSError:
                 pass
             self.peak = max(self.peak, total)
-            self._stop.wait(self.interval)
+            self._halt.wait(self.interval)
 
     def stop(self):
-        self._stop.set()
+        self._halt.set()
 
 
 def main():
@@ -151,7 +152,7 @@ def main():
         "host_rss_gb": round(rss_gb, 2),
         "spill_peak_gb": round(watcher.peak / 1e9, 2),
         "stages_s": {k: round(v, 1) for k, v in
-                     (stats.get("stage_s") or timings).items()},
+                     (stats.get("stage_s") or {}).items()},
         "n_chunks": stats.get("n_chunks"),
         "sp_len": stats.get("sp_len"),
         "conservation_ok": ok,
