@@ -24,6 +24,19 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                  ".jax_cache"),
 )
+# force the virtual CPU mesh: the axon sitecustomize registers the TPU
+# backend ignoring JAX_PLATFORMS (see tests/conftest.py), so set the
+# device-count flag and flip the platform config before any device use
+if "--xla_force_host_platform_device_count" not in os.environ.get(
+    "XLA_FLAGS", ""
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
