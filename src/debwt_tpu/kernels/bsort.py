@@ -49,17 +49,34 @@ Ties on the full key tuple may be emitted in any order (the network is
 not stable) — every engine call site either has distinct key tuples or
 order-independent downstream semantics (see ops.msort).
 
-STATUS — opt-in only (round 4). In round 3 this kernel, embedded at
-five msort sites of one jitted stage (including inside a
-lax.while_loop), crashed the SECOND build_bwt call on real hardware
-with INVALID_ARGUMENT for large branch-dense inputs, while the
-ISOLATED kernel passes hardware parity including repeat-execution at
-2^21 rows (tests/test_tpu_smoke.py::test_bsort_tpu_parity_repeat) —
-i.e. the failure needs the composition, not the kernel alone.
-jax.lax.sort also measured as fast or faster at every size tried, so
-ops.msort routes to XLA's sort unless DEBWT_SORT_MIN_PALLAS is set.
-Keep the flag off in production until a full pipeline run with the
-flag survives the on-TPU lane.
+STATUS — opt-in only (round 4). The r03 re-execution crash
+(INVALID_ARGUMENT on the SECOND build_bwt call, branch-dense input)
+was bisected on hardware this round via DEBWT_PALLAS_SITES at
+4.6 Mbp (every green row is 3 reps, byte-identical):
+
+    all sites                          CRASH (2nd call)
+    graph alone                        green
+    rank alone                         green
+    sp,bk,mg,blue                      green
+    rank,sp,bk,mg,blue (all finish)    green
+    graph+sp                           CRASH
+    graph+rank                         CRASH
+    two bare jitted bitonic_sort fns
+    alternated (no other Pallas)       green
+    isolated kernel repeat @ 2^21      green (test_tpu_smoke)
+
+Conclusion: the crash needs a bitonic sort in stage_graph — whose
+executable also carries the window_keys and seg_or Pallas kernels —
+PLUS any bitonic sort in the stage_finish executable; every
+single-program configuration and every isolated form is green. That
+points at runtime-level interference across executables in the
+Mosaic/axon stack (scratch or semaphore lifetime), not kernel math:
+whenever a configuration runs, its output is byte-identical.
+
+jax.lax.sort also measured as fast or faster at every size tried
+(e.g. 4.6 Mbp: 15.9 Mbp/s XLA vs 10.7-12.4 for every Pallas-sort
+config), so ops.msort routes to XLA's sort unless
+DEBWT_SORT_MIN_PALLAS is set. Keep the flag off in production.
 """
 
 from __future__ import annotations
