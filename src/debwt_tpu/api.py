@@ -24,13 +24,20 @@ from debwt_tpu.types import PipelineConfig, SequenceCollection
 # Single-chip fused-engine row bound (engine.stage_graph packs segment
 # facts beside row indices in int32 scans).
 _SINGLE_ROWS = 1 << 29
+# Practical HBM bound for the fused engine on a 16 GB chip: measured
+# r04, stage_finish compiles+runs at R = 268M (250 Mbp, ~9.5 GB of
+# HLO temp) and is rejected at R = 403M (400 Mbp, 13.5 GB — XLA pads
+# the sort temps ~4.5x with its tiled layout). Inputs between this
+# cap and _SINGLE_ROWS route to the dist/ooc tiers instead of OOMing.
+# Env override for bigger-HBM chips: DEBWT_SINGLE_MAX_ROWS.
+_SINGLE_ROWS_HBM = int(
+    __import__("os").environ.get("DEBWT_SINGLE_MAX_ROWS", 300 * 10**6)
+)
 
 
 def _fits_single(coll: SequenceCollection, m: int) -> bool:
-    return (
-        _bucket(coll.bwt_len) + _pow2(coll.n_reads * (m - 1))
-        < _SINGLE_ROWS
-    )
+    rows = _bucket(coll.bwt_len) + _pow2(coll.n_reads * (m - 1))
+    return rows < min(_SINGLE_ROWS, _SINGLE_ROWS_HBM)
 
 
 def build(

@@ -129,7 +129,13 @@ def msort(operands, num_keys: int = 1, min_pallas: int | None = None,
         and R >= min_pallas
     )
     if not use_pallas:
-        return jax.lax.sort(operands, num_keys=num_keys)
+        # is_stable=False: lax.sort DEFAULTS to stable, which the
+        # msort contract explicitly does not promise — and XLA's
+        # stable variadic sort pays real memory for it (measured: the
+        # 2-operand sort at R = 4e8 allocates 13.5 GB of HLO temp
+        # stable vs fitting unstable, the difference between the
+        # single-chip tier capping at ~250 vs ~400 Mbp)
+        return jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
     from debwt_tpu.kernels.bsort import bitonic_sort
 
     SIGN = jnp.uint32(0x80000000)
