@@ -92,12 +92,18 @@ def rank_suffixes(x6p: np.ndarray, positions: np.ndarray, limit: int) -> np.ndar
 
 def build_special(coll: SequenceCollection, m: int) -> SpecialData:
     k = m - 1
-    x6 = coll.x6
     sep = coll.sep
     n = coll.n_reads
     N = coll.bwt_len
-    x6p = np.concatenate([x6, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)])
-    x2p = np.concatenate([coll.x2, np.full(K.TAIL_PAD, K.T, dtype=np.uint8)])
+    # build the two padded views with exactly two allocations (the
+    # x6 property would copy a third time; at 250 Mbp each full-text
+    # alloc+copy costs ~0.3-0.5 s of host critical path per build)
+    x2p = np.empty(N + K.TAIL_PAD, dtype=np.uint8)
+    x2p[:N] = coll.x2
+    x2p[N:] = K.T
+    x6p = x2p.copy()
+    x6p[sep[:-1]] = K.SHARP
+    x6p[sep[-1]] = K.DOLLAR
 
     heads = np.concatenate([[0], sep[:-1] + 1]).astype(np.int64)
     head_rank = rank_suffixes(x6p, heads, N)
