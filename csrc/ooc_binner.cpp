@@ -125,6 +125,9 @@ int64_t debwt_ooc_bin(const uint32_t* hi, const uint32_t* lo,
         if (T <= 0) T = 1;
         if (T > 8) T = 8;
     }
+    // ceiling even for explicit env values: an absurd setting would
+    // spawn that many OS threads plus a T*nb histogram allocation
+    if (T > 256) T = 256;
     if (T > C_real) T = std::max<int64_t>(1, C_real);
 
     // pass 1: per-thread histograms over contiguous ranges

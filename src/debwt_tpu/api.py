@@ -16,6 +16,7 @@ bench) never hit a tier's NotImplementedError by accident.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from debwt_tpu.pipeline import BwtResult, _bucket, _pow2, build_bwt
@@ -24,20 +25,23 @@ from debwt_tpu.types import PipelineConfig, SequenceCollection
 # Single-chip fused-engine row bound (engine.stage_graph packs segment
 # facts beside row indices in int32 scans).
 _SINGLE_ROWS = 1 << 29
-# Practical HBM bound for the fused engine on a 16 GB chip: measured
-# r04, stage_finish compiles+runs at R = 268M (250 Mbp, ~9.5 GB of
-# HLO temp) and is rejected at R = 403M (400 Mbp, 13.5 GB — XLA pads
-# the sort temps ~4.5x with its tiled layout). Inputs between this
-# cap and _SINGLE_ROWS route to the dist/ooc tiers instead of OOMing.
-# Env override for bigger-HBM chips: DEBWT_SINGLE_MAX_ROWS.
-_SINGLE_ROWS_HBM = int(
-    __import__("os").environ.get("DEBWT_SINGLE_MAX_ROWS", 300 * 10**6)
-)
+
+
+def _single_rows_hbm() -> int:
+    # Practical HBM bound for the fused engine on a 16 GB chip:
+    # measured r04, stage_finish compiles+runs at R = 268M (250 Mbp,
+    # ~9.5 GB of HLO temp) and is rejected at R = 403M (400 Mbp,
+    # 13.5 GB — XLA pads the sort temps ~4.5x with its tiled layout).
+    # Inputs between this cap and _SINGLE_ROWS route to the grouped /
+    # dist / ooc tiers instead of OOMing. Env override for bigger-HBM
+    # chips: DEBWT_SINGLE_MAX_ROWS (read per call, so setting it after
+    # import works).
+    return int(os.environ.get("DEBWT_SINGLE_MAX_ROWS", 300 * 10**6))
 
 
 def _fits_single(coll: SequenceCollection, m: int) -> bool:
     rows = _bucket(coll.bwt_len) + _pow2(coll.n_reads * (m - 1))
-    return rows < min(_SINGLE_ROWS, _SINGLE_ROWS_HBM)
+    return rows < min(_SINGLE_ROWS, _single_rows_hbm())
 
 
 def build(

@@ -578,6 +578,10 @@ def build_bwt_ooc(
                 "splitters": splitters.tolist(),
             }
             _ckpt_save(ooc.spill_dir, state)
+    else:
+        # checkpoint resume skipped pass A — reset the timing origin so
+        # the attach time doesn't get folded into "pass B" (--timings)
+        _mark("pass A (resume attach)")
 
     # special rows -> buckets (true suffix order preserved per bucket
     # because splitters partition the key space monotonically)
