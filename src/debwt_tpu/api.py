@@ -5,10 +5,13 @@ LF-walk design cap, src/LFsearch.c:56) with one code path; here the
 envelope is covered by three, each idiomatic for its scale:
 
   single   fused one-sort engine (pipeline.build_bwt), R < 2^29 rows
+  grouped  device-resident grouped engine (grouped.build_bwt_grouped):
+           bounded device memory via key-range groups re-derived from
+           HBM-resident packed text; N < ~3.7e9 (uint32 positions)
   dist     multi-device shard_map pipeline (parallel.dist_build_bwt)
   ooc      out-of-core chunked pipeline with host-DRAM spill
-           (oocore.build_bwt_ooc) when the collection exceeds what the
-           attached devices can hold
+           (oocore.build_bwt_ooc) when the collection exceeds even the
+           grouped tier's position bound
 
 `build` routes on collection size and device count so callers (CLI,
 bench) never hit a tier's NotImplementedError by accident.
@@ -85,6 +88,13 @@ def build(
         from debwt_tpu.parallel import dist_build_bwt, make_mesh
 
         return dist_build_bwt(coll, config, make_mesh(n_dev))
+
+    from debwt_tpu.grouped import MAX_N, build_bwt_grouped
+
+    if coll.bwt_len < MAX_N and os.environ.get("DEBWT_FORCE_OOC") != "1":
+        _say(f"grouped device-resident tier (N={coll.bwt_len}, "
+             f"single chip)")
+        return build_bwt_grouped(coll, config)
 
     _say(f"out-of-core chunked tier (N={coll.bwt_len}, {n_dev} device(s))")
     from debwt_tpu.oocore import build_bwt_ooc

@@ -52,6 +52,10 @@ import numpy as np
 from debwt_tpu import constants as K
 from debwt_tpu import ops
 from debwt_tpu.engine import _suffix_ranks
+
+# one device dispatch for host-driven rank calls: eager-mode padding +
+# while_loop setup costs ~10 round trips of tunnel latency otherwise
+_suffix_ranks_jit = jax.jit(_suffix_ranks)
 from debwt_tpu.pipeline import BwtResult, _bucket, _pow2
 from debwt_tpu.special import build_special
 from debwt_tpu.types import PipelineConfig, SequenceCollection
@@ -364,7 +368,7 @@ def _sp_ranks_host(sp6: np.ndarray, L: int, ooc: "OocConfig", mesh,
         ext = np.zeros(Lc, dtype=np.uint8)
         ext[:L] = sp6
         return np.asarray(jax.device_get(
-            _suffix_ranks(jnp.asarray(ext), jnp.int32(L))
+            _suffix_ranks_jit(jnp.asarray(ext), jnp.int32(L))
         ))[:L]
     if mesh is None or int(mesh.devices.size) < 2:
         raise NotImplementedError(
