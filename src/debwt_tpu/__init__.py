@@ -23,14 +23,16 @@ Pipeline layers (each maps a reference stage to a TPU-native design):
 
   io.fasta     FASTA/FASTQ ingest + N-policy     (collect#$.c pass 1/2, transferN.c)
   pack         2-bit packing, window key extraction
-  count        on-device (k+1)-mer counting       (kmercounting.sh + mySort.c)
+  count        on-device (k+1)-mer counting API   (kmercounting.sh + mySort.c)
   special      separator-window module (host)     (collect#$.c seeKMER/divideKmer)
-  classify     node classification + coordinates  (getKmer.c + INandOut.c mergeKmer)
-  spcode       SP branch-code generation          (generateSP.c)
-  bluesort     SP suffix ranks via prefix-doubling (sortBlue.c cmpSP/myQsort)
-  assemble     final merge + packing              (insertCase3.c)
+  engine       fused one-sort classification + SP + blue + merge
+               (getKmer.c + INandOut.c mergeKmer + generateSP.c +
+                sortBlue.c + insertCase3.c, collapsed into two programs)
+  grouped      device-resident grouped tier, bounded HBM at any N < 2^31.8
+  bluesort     SP suffix ranks via prefix-tripling (sortBlue.c cmpSP/myQsort)
   verify       LF-mapping invertibility check     (LFsearch.c)
   parallel     multi-chip sharding (mesh/pjit/shard_map) — no reference analogue
+  oocore       out-of-core chunked tier (host/disk spill + resume)
 """
 
 from debwt_tpu.types import PipelineConfig, SequenceCollection
@@ -40,18 +42,29 @@ __version__ = "0.1.0"
 __all__ = [
     "PipelineConfig",
     "SequenceCollection",
+    "build",
     "build_bwt",
     "BwtResult",
+    "count_kmers",
+    "read_kmer_dump",
     "__version__",
 ]
 
 
 def __getattr__(name):
-    # build_bwt / BwtResult import jax (and may touch the XLA
+    # build/build_bwt/BwtResult import jax (and may touch the XLA
     # backend); keep the package import side-effect free so that
     # multi-host launchers can run jax.distributed.initialize first.
     if name in ("build_bwt", "BwtResult"):
         from debwt_tpu import pipeline
 
         return getattr(pipeline, name)
+    if name == "build":
+        from debwt_tpu import api
+
+        return api.build
+    if name in ("count_kmers", "read_kmer_dump"):
+        from debwt_tpu import count
+
+        return getattr(count, name)
     raise AttributeError(name)

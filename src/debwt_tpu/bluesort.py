@@ -21,10 +21,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from debwt_tpu import ops
-
-I32 = jnp.int32
-
 
 @functools.partial(jax.jit, static_argnames=())
 def sp_suffix_ranks(sp6_ext: jnp.ndarray, L_dyn=None):
@@ -41,23 +37,3 @@ def sp_suffix_ranks(sp6_ext: jnp.ndarray, L_dyn=None):
     if L_dyn is None:
         L_dyn = jnp.int32(M)
     return _suffix_ranks(sp6_ext, L_dyn)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def order_blue(blue_node, blue_spidx, blue_char6, sp_rank, node_start):
-    """Absolute BWT positions of the blue entries.
-
-    Sort entries by (node, SP-suffix rank); the i-th entry of a node's
-    run lands at node_start[node] + i."""
-    B = blue_node.shape[0]
-    r = sp_rank[blue_spidx]
-    node_s, _, char_s = jax.lax.sort(
-        (blue_node, r, blue_char6.astype(I32)), num_keys=2
-    )
-    idx = jnp.arange(B, dtype=I32)
-    first = jnp.ones(B, dtype=bool)
-    first = first.at[1:].set(node_s[1:] != node_s[:-1])
-    seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
-    within = idx - seg_start
-    pos = node_start[node_s] + within
-    return pos, char_s.astype(jnp.uint8)

@@ -196,18 +196,18 @@ def _classify_group(
     (engine.stage_graph semantics; reference mergeKmer
     src/INandOut.c:252-445). Group-local row indices stay int32.
 
-    Returns (fill4, b_fl, b_sg, b_pos, b_ch, n_g, E_g):
-      fill4   uint8[(cap+ns_cap)/2] 4-bit-packed partial BWT chars of
-              the first n_g sorted rows (blue slots zero)
-      b_fl    uint8[R]  branch-row flags (1 = SP event, 2 = blue),
-              live prefix of length E_g; the other b_* arrays share it
-      b_sg    int32[R]  blue segment starts (group-local sorted index)
+    Returns (fill2, b_key, b_sgc, b_pos, n_g, E_g):
+      fill2   uint8[(cap+ns_cap)/4] 2-bit-packed partial BWT chars of
+              the first n_g sorted rows (blue slots zero; fills are
+              provably in 0..3 — see the pack comment below)
+      b_key   uint32[R] compaction keys: local idx<<2 | flags
+              (flag 1 = SP event, 2 = blue); live prefix length E_g
+      b_sgc   uint32[R] blue (segment start << 3) | BWT char
       b_pos   uint32[R] row positions
-      b_ch    uint8[R]  blue BWT chars
     """
     R = cap + ns_cap
     assert R < (1 << 29), R           # packed fact-broadcast bound
-    assert R % 2 == 0, R
+    assert R % 4 == 0, R              # 2-bit fill packing
     r_hi = jnp.concatenate([bhi[:cap], s_hi2])
     r_lo = jnp.concatenate([blo[:cap], s_lo2])
     r_ord = jnp.concatenate([bord[:cap], s_ord])
@@ -305,8 +305,16 @@ def _classify_group(
     )
     E_g = jnp.sum(ev_blue.astype(I32))
 
-    fill4 = (fill6[0::2] << 4) | fill6[1::2]
-    return fill4, b_key, b_sgc, b_pos, n_g, E_g
+    # fills are provably in 0..3 here: spec chars are x6[p-1] with p-1
+    # never a separator (reads longer than k, special.py), case-2
+    # chars are single predecessor bases, and every '#'/'$' BWT char
+    # belongs to a multi-in (blue) slot — head rows force mi_seg — so
+    # those arrive via the host blue fill. 2-bit pack: 4 chars/byte.
+    fill2 = (
+        (fill6[0::4] << 6) | (fill6[1::4] << 4)
+        | (fill6[2::4] << 2) | fill6[3::4]
+    )
+    return fill2, b_key, b_sgc, b_pos, n_g, E_g
 
 
 def _plan_groups(coll, k: int, cap: int, fill: float, attempt: int):
@@ -364,7 +372,7 @@ def build_bwt_grouped(
     assert n_spec < (1 << 28), n_spec
     _mark("special module (host)")
 
-    cap = gcfg.cap - (gcfg.cap % 2)
+    cap = gcfg.cap - (gcfg.cap % 4)
     C = min(gcfg.chunk, _pow2(max(1024, N)))
     C -= C % 16
     n_chunks = -(-N // C)
@@ -413,7 +421,7 @@ def build_bwt_grouped(
         # static cap, not the live rows, so a half-full buffer would
         # pay double — shrink to the expected group size plus slack
         cap_run = min(cap, _bucket(int(N / G / gcfg.fill)))
-        cap_run += cap_run % 2
+        cap_run += (-cap_run) % 4
         _say(f"plan: G={G} groups, cap={cap_run}, chunk={C} x {n_chunks}, "
              f"ns_cap={ns_cap}")
 
@@ -456,30 +464,32 @@ def build_bwt_grouped(
                 _sp_pad(sp.spec_bwt6, np.uint8(0), smask),
                 m, cap_run, ns_cap,
             )
-            fill4, b_key, b_sgc, b_pos, n_g_d, E_g_d = outs
+            fill2, b_key, b_sgc, b_pos, n_g_d, E_g_d = outs
             n_g, E_g = int(n_g_d), int(E_g_d)   # blocks: classify done
             assert n_g == n_main + int(smask.sum()), (
                 n_g, n_main, int(smask.sum())
             )
-            nb = (n_g + 1) // 2
+            nb = (n_g + 3) // 4
             # slice the live prefixes (small device arrays), release
             # the full outputs, then dispatch the NEXT group's select
             # so its device compute overlaps this group's fetches
-            sl = (fill4[:nb], b_key[:E_g], b_sgc[:E_g], b_pos[:E_g])
-            del outs, fill4, b_key, b_sgc, b_pos
+            sl = (fill2[:nb], b_key[:E_g], b_sgc[:E_g], b_pos[:E_g])
+            del outs, fill2, b_key, b_sgc, b_pos
             fine["classify"] += time.time() - t0
             t0 = time.time()
             if g + 1 < G:
                 sel = _sel(g + 1)
             tf = time.time()
-            f4 = np.asarray(jax.device_get(sl[0]))
+            f2 = np.asarray(jax.device_get(sl[0]))
             key_h = np.asarray(jax.device_get(sl[1]))
             sgc_h = np.asarray(jax.device_get(sl[2]))
             pos_h = np.asarray(jax.device_get(sl[3])).astype(np.int64)
             del sl
-            seg = np.empty(2 * nb, dtype=np.uint8)
-            seg[0::2] = f4 >> 4
-            seg[1::2] = f4 & 15
+            seg = np.empty(4 * nb, dtype=np.uint8)
+            seg[0::4] = f2 >> 6
+            seg[1::4] = (f2 >> 4) & 3
+            seg[2::4] = (f2 >> 2) & 3
+            seg[3::4] = f2 & 3
             bwt6[base : base + n_g] = seg[:n_g]
             is_ev = (key_h & 1) != 0
             is_bl = (key_h & 2) != 0

@@ -64,6 +64,20 @@ I32 = jnp.int32
 KEY_MAX = np.uint32(0xFFFFFFFF)
 
 
+def _malloc_trim():
+    """Return freed arena pages to the OS. The pass loops allocate and
+    free GB-scale transients; glibc keeps the high-water mark resident
+    otherwise (measured r04: 46 GB RSS at 1 Gbp against a ~4 GB logical
+    working set — the reference streams everything through 32 MiB
+    buffers, src/collect#$.h:12, and this is the host-side analogue)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
 @dataclasses.dataclass(frozen=True)
 class OocConfig:
     """Knobs for the out-of-core tier.
@@ -168,10 +182,13 @@ class _BucketStore:
             for c, dt in self.COLS:
                 self._mem[b][c].append(cols[c].astype(dt))
 
-    def load(self, b: int, consume: bool = True):
+    def load(self, b: int, consume: bool = True, staging: dict | None = None):
         """Fetch bucket b's rows; consume=True deletes them (pass
         consume=False under checkpointing and call delete(b) after the
-        manifest records the bucket complete)."""
+        manifest records the bucket complete). `staging`, when given,
+        maps column name -> a preallocated array of >= bucket rows:
+        files are read INTO it (bounded, alloc-free) and views are
+        returned — the 30 Gbp RSS discipline."""
         if self.dir:
             out = {}
             for c, dt in self.COLS:
@@ -179,7 +196,15 @@ class _BucketStore:
                 if fh is not None:
                     fh.close()
                 path = os.path.join(self.dir, f"bk{b}.{c}")
-                out[c] = np.fromfile(path, dtype=dt)
+                if staging is not None:
+                    rows = int(self.sizes[b])
+                    view = staging[c][:rows]
+                    with open(path, "rb") as f:
+                        got = f.readinto(memoryview(view).cast("B"))
+                    assert got == rows * view.dtype.itemsize, (got, rows)
+                    out[c] = view
+                else:
+                    out[c] = np.fromfile(path, dtype=dt)
                 if consume:
                     os.unlink(path)   # deleted as consumed
             return out["hi"], out["lo"], out["k16"], out["pos"]
@@ -568,9 +593,11 @@ def build_bwt_ooc(
             keys = _chunk_keys(kw, k, C)
             if pending is not None:
                 _bin_rows(*pending)
+                _malloc_trim()
             pending = (c0, C_real, *keys)
         if pending is not None:
             _bin_rows(*pending)
+            _malloc_trim()
         store.close()
         _mark("pass A (keys + binning)")
         _say(f"pass A: {n_chunks} chunks of {C}, bucket rows "
@@ -640,12 +667,37 @@ def build_bwt_ooc(
         sp_count = start_b and int(state["sp_count"]) or 0
         blue_count = start_b and int(state["blue_count"]) or 0
     else:
-        bwt6 = np.zeros(N, dtype=np.uint8)
+        if ooc.spill_dir:
+            # disk-spill mode always memmaps the output (not only under
+            # checkpointing): the array pages to the spill dir instead
+            # of pinning N bytes of RSS — the reference's bounded-buffer
+            # discipline (src/collect#$.h:12) applied to the result
+            bwt6 = np.memmap(
+                os.path.join(ooc.spill_dir, "bwt6.u8"), dtype=np.uint8,
+                mode="w+", shape=(N,),
+            )
+        else:
+            bwt6 = np.zeros(N, dtype=np.uint8)
         sp_pos_parts = []             # SP event positions (int64)
         blue_parts = []               # (base int64, pos int64, char u8)
+    # reusable pass-B staging: bucket files read INTO fixed buffers and
+    # device operands built in fixed buffers — zero per-bucket GB
+    # allocations (r04 measured 46 GB RSS/Gbp mostly as allocator
+    # high-water from per-bucket transients)
+    staging = (
+        {c: np.empty(cap, dt) for c, dt in _BucketStore.COLS}
+        if store.dir else None
+    )
+    r_hi_b = np.full(cap, KEY_MAX, dtype=np.uint32)
+    r_lo_b = np.full(cap, KEY_MAX, dtype=np.uint32)
+    r_k16_b = np.full(cap, 2 << 12, dtype=np.int32)
+    r_ord_b = np.arange(cap, dtype=np.int32)
+    hwm = 0                 # dirty prefix high-water mark
+    spec_dirty = None       # last bucket's spec-row range in r_ord_b
     max_dev_rows = 0
     for b in range(start_b, nb):
-        hi, lo, k16, pos = store.load(b, consume=not ckpt)
+        hi, lo, k16, pos = store.load(b, consume=not ckpt,
+                                      staging=staging)
         nmain = hi.shape[0]
         smask = spec_dest == b
         nspec = int(smask.sum())
@@ -662,24 +714,33 @@ def build_bwt_ooc(
                 _ckpt_save(ooc.spill_dir, state)
                 store.delete(b)
             continue
-        r_hi = np.full(cap, KEY_MAX, dtype=np.uint32)
-        r_lo = np.full(cap, KEY_MAX, dtype=np.uint32)
-        r_k16 = np.full(cap, 2 << 12, dtype=np.int32)
-        r_ord = np.arange(cap, dtype=np.int32)
-        r_hi[:nmain] = hi
-        r_lo[:nmain] = lo
-        r_k16[:nmain] = k16
+        # restore the pristine state of the reused buffers where the
+        # previous bucket dirtied them (tail beyond this bucket's rows,
+        # plus the spec-row patch in the arange-valued r_ord)
+        if spec_dirty is not None:
+            s0, s1 = spec_dirty
+            r_ord_b[s0:s1] = np.arange(s0, s1, dtype=np.int32)
+            spec_dirty = None
+        if hwm > n_rows:
+            r_hi_b[n_rows:hwm] = KEY_MAX
+            r_lo_b[n_rows:hwm] = KEY_MAX
+            r_k16_b[n_rows:hwm] = 2 << 12
+        hwm = max(hwm, n_rows)
+        r_hi_b[:nmain] = hi
+        r_lo_b[:nmain] = lo
+        r_k16_b[:nmain] = k16
         if nspec:
-            r_hi[nmain:n_rows] = spec_hi[smask]
-            r_lo[nmain:n_rows] = spec_lo[smask]
-            r_k16[nmain:n_rows] = 1 << 12
-            r_ord[nmain:n_rows] = (
+            r_hi_b[nmain:n_rows] = spec_hi[smask]
+            r_lo_b[nmain:n_rows] = spec_lo[smask]
+            r_k16_b[nmain:n_rows] = 1 << 12
+            r_ord_b[nmain:n_rows] = (
                 (spec_rank[smask] << 3) | sp.spec_bwt6[smask]
             ).astype(np.int32)
+            spec_dirty = (nmain, n_rows)
         fill6, mo_row, mi_row, seg_start, ord_s, bwt3, total = (
             _classify_bucket(
-                jnp.asarray(r_hi), jnp.asarray(r_lo),
-                jnp.asarray(r_k16), jnp.asarray(r_ord), cap,
+                jnp.asarray(r_hi_b), jnp.asarray(r_lo_b),
+                jnp.asarray(r_k16_b), jnp.asarray(r_ord_b), cap,
             )
         )
         total = int(total)
@@ -729,6 +790,7 @@ def build_bwt_ooc(
             }
             _ckpt_save(ooc.spill_dir, state)
             store.delete(b)   # safe only after the manifest bump
+        _malloc_trim()
     assert base == N, (base, N)
     _mark("pass B (bucket sorts)")
     _say(f"pass B: {nb} buckets, device rows/bucket = {max_dev_rows}")

