@@ -89,12 +89,17 @@ def build(
 
         return dist_build_bwt(coll, config, make_mesh(n_dev))
 
-    from debwt_tpu.grouped import MAX_N, build_bwt_grouped
+    from debwt_tpu.grouped import MAX_N, GroupOverflow, build_bwt_grouped
 
     if coll.bwt_len < MAX_N and os.environ.get("DEBWT_FORCE_OOC") != "1":
         _say(f"grouped device-resident tier (N={coll.bwt_len}, "
              f"single chip)")
-        return build_bwt_grouped(coll, config)
+        try:
+            return build_bwt_grouped(coll, config)
+        except GroupOverflow as e:
+            # a single node key outgrew the group cap (pathological
+            # repeat mass); the ooc tier's giant-bucket path handles it
+            _say(f"grouped tier overflow ({e}); out-of-core fallback")
 
     _say(f"out-of-core chunked tier (N={coll.bwt_len}, {n_dev} device(s))")
     from debwt_tpu.oocore import build_bwt_ooc

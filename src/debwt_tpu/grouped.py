@@ -95,15 +95,36 @@ class GroupOverflow(RuntimeError):
     pass
 
 
-def _topc(whi, wlo, m: int):
-    """First min(16, k) window chars as a right-aligned uint32 — the
-    splitter comparison value (matches oocore.sample_splitters)."""
-    k = m - 1
-    sc = min(16, k)
-    sh = 2 + 2 * (k - sc)       # drop the choice char + trailing chars
-    if sh >= 32:
-        return whi >> (sh - 32)
-    return (whi << (32 - sh)) | (wlo >> sh)
+def _node62(whi, wlo):
+    """The full k-char node key (m-window >> 2, dropping the choice
+    char) as a (hi, lo) uint32 pair — the 62-bit splitter comparison
+    value. Full-depth splitters mean ANY hot shared prefix can be
+    split; only a single node key with more than `cap` occurrences is
+    unsplittable (node groups must stay group-local), and that case
+    raises GroupOverflow for api.build to route to the out-of-core
+    tier's giant-bucket fallback."""
+    return whi >> 2, (whi << 30) | (wlo >> 2)
+
+
+def _ge64(ahi, alo, bhi, blo):
+    return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
+
+
+def sample_splitters64(x2: np.ndarray, n: int, k: int, seed: int = 17,
+                       samples: int = 1 << 18) -> np.ndarray:
+    """n-1 equal-depth uint64 splitters over full k-char node keys
+    (the balance role of mySort's cumulative bucket counts,
+    src/mySort.c:104-110, at maximal depth)."""
+    P = max(1, x2.shape[0] - k)
+    idx = np.random.default_rng(seed).integers(0, P, size=samples)
+    v = np.zeros(samples, dtype=np.uint64)
+    for i in range(k):
+        v = (v << np.uint64(2)) | x2[
+            np.minimum(idx + i, x2.shape[0] - 1)
+        ].astype(np.uint64)
+    v.sort()
+    qs = (np.arange(1, n) * samples) // n
+    return v[qs]
 
 
 @functools.partial(
@@ -113,7 +134,8 @@ def _select_group(
     x2w_ext,      # uint32[W] packed codes of [16 T's] + text + T padding
     sep_pos,      # uint32[n_cap] separator positions (pad 0xFFFFFFFF)
     n_real,       # uint32 scalar: true text length N
-    g_lo, g_hi,   # uint32 scalars: group key range [g_lo, g_hi) on topc
+    g_lo_hi, g_lo_lo,   # uint32 scalars: 62-bit group range lower bound
+    g_hi_hi, g_hi_lo,   # uint32 scalars: exclusive upper bound
     g_last,       # bool scalar: last group (upper bound open)
     m: int, C: int, cap: int, n_chunks: int, E: int,
 ):
@@ -149,8 +171,12 @@ def _select_group(
         valid = pos_u < n_real
         is_main = (dist >= k) & valid
         is_tailw = dist == k
-        topc = _topc(whi, wlo, m)
-        in_g = is_main & (topc >= g_lo) & (g_last | (topc < g_hi))
+        nhi, nlo = _node62(whi, wlo)
+        in_g = (
+            is_main
+            & _ge64(nhi, nlo, g_lo_hi, g_lo_lo)
+            & (g_last | ~_ge64(nhi, nlo, g_hi_hi, g_hi_lo))
+        )
         predf = jnp.where(head, jnp.uint8(7), pred)
         f8 = (
             (is_tailw.astype(U8) << 4) | (head.astype(U8) << 3) | predf
@@ -318,16 +344,15 @@ def _classify_group(
 
 
 def _plan_groups(coll, k: int, cap: int, fill: float, attempt: int):
-    """Equal-depth splitters for G groups sized to `fill * cap` rows."""
-    from debwt_tpu.oocore import sample_splitters
-
+    """Equal-depth 62-bit splitters for G groups of ~`fill * cap`
+    rows each."""
     N = coll.bwt_len
     G = max(1, -(-N // max(1, int(cap * fill))))
     G = min(65536, G << attempt)      # retry doubles the group count
     if G == 1:
-        return G, np.empty(0, np.uint32)
-    splitters = sample_splitters(
-        coll.x2, G, min(16, k), seed=17 + attempt, samples=1 << 18
+        return G, np.empty(0, np.uint64)
+    splitters = sample_splitters64(
+        coll.x2, G, k, seed=17 + attempt, samples=1 << 18
     )
     return G, splitters
 
@@ -402,9 +427,8 @@ def build_bwt_grouped(
     s_hi2_all = (s_hi << np.uint32(2)) | (s_lo >> np.uint32(30))
     s_lo2_all = (s_lo << np.uint32(2)) | np.uint32(3)
     s_ord_all = ORD_SPEC | np.arange(n_spec, dtype=np.uint32)
-    spec_topc = (
-        sp.spec_tfill >> np.uint64(2 * (k - min(16, k)))
-    ).astype(np.uint32)
+    # spec_tfill IS the k-char node key — the 62-bit splitter domain
+    spec_topc = sp.spec_tfill
 
     n_real_u = np.uint32(N)
     fine = {"select": 0.0, "classify": 0.0, "fetch": 0.0}
@@ -426,10 +450,12 @@ def build_bwt_grouped(
              f"ns_cap={ns_cap}")
 
         def _sel(g):
-            g_lo = np.uint32(splitters[g - 1]) if g else np.uint32(0)
-            g_hi = np.uint32(splitters[g]) if g < G - 1 else np.uint32(0)
+            lo64 = int(splitters[g - 1]) if g else 0
+            hi64 = int(splitters[g]) if g < G - 1 else 0
             return _select_group(
-                x2w_ext, sep_d, n_real_u, g_lo, g_hi,
+                x2w_ext, sep_d, n_real_u,
+                np.uint32(lo64 >> 32), np.uint32(lo64 & 0xFFFFFFFF),
+                np.uint32(hi64 >> 32), np.uint32(hi64 & 0xFFFFFFFF),
                 np.bool_(g == G - 1), m, C, cap_run, n_chunks, E,
             )
 
@@ -511,9 +537,11 @@ def build_bwt_grouped(
             break
     else:
         raise GroupOverflow(
-            "group overflow persisted after 4 splitter refinements — "
-            "pathological key skew (a single hot 16-char prefix "
-            "exceeding the group cap)"
+            "group overflow persisted after 4 full-depth splitter "
+            "refinements — a single node key has more than `cap` "
+            "occurrences and node groups must stay group-local; "
+            "api.build falls back to the out-of-core tier, whose "
+            "giant-bucket path handles this"
         )
     assert base == N, (base, N)
     _mark("group passes (device)")

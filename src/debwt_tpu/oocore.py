@@ -627,14 +627,18 @@ def build_bwt_ooc(
     assert (sp.spec_tfill.shape[0] << 3) < (1 << 31), sp.spec_tfill.shape
 
     # ---- pass B: per-bucket sort + classification ----
-    cap = _pow2(int(
-        (store.sizes + np.bincount(spec_dest, minlength=nb)).max()
-    ))
-    assert cap < (1 << 27), (
-        f"bucket cap {cap} exceeds the device segment-scan bound; "
-        f"raise OocConfig.n_buckets (key skew caveat in "
-        f"sample_splitters.__doc__)"
-    )
+    # buckets past the device segment-scan bound (2^27 rows — a hot
+    # shared prefix the u32 splitters could not cut) take the
+    # oversized fallback below: host full-key sort into node-boundary
+    # slabs, with single-key giants reduced directly. The device cap
+    # is sized by the largest NORMAL bucket.
+    DEV_BOUND = 1 << 26
+    sizes_tot = store.sizes + np.bincount(spec_dest, minlength=nb)
+    if int(sizes_tot.max(initial=16)) > DEV_BOUND:
+        cap = DEV_BOUND
+    else:
+        cap = _pow2(int(sizes_tot.max(initial=16)))
+    assert cap <= DEV_BOUND, cap
     start_b = 0
     base = 0                      # int64 host coordinate — no 2^32 cap
     if ckpt:

@@ -88,83 +88,27 @@ def sort_by_key2(hi, lo, *values):
     return jax.lax.sort((hi, lo) + tuple(values), num_keys=2, is_stable=True)
 
 
-def msort(operands, num_keys: int = 1, min_pallas: int | None = None,
-          site: str = ""):
-    """Multi-operand lexicographic sort: jax.lax.sort by default, with
-    an OPT-IN route to the Pallas bitonic kernel (kernels/bsort.py).
+def msort(operands, num_keys: int = 1, site: str = ""):
+    """Multi-operand lexicographic sort over XLA's variadic sort.
 
-    The Pallas route is disabled unless the caller passes min_pallas
-    explicitly or DEBWT_SORT_MIN_PALLAS is set: on the real chip the
-    round-3 bitonic kernel crashed on re-execution of large
-    branch-dense shapes (judge-pinned, VERDICT r03) while XLA's sort
-    was as fast or faster at the sizes measured — so XLA's sort is the
-    production path until the kernel survives the on-TPU test lane
-    (DEBWT_TESTS_TPU=1 tests/test_tpu_smoke.py).
-
-    NOTE: the env knobs (DEBWT_SORT_MIN_PALLAS / DEBWT_PALLAS_SITES /
-    DEBWT_NO_PALLAS) are read at TRACE time inside jitted callers and
-    the jit cache does not key on them — set them before the first
-    call of the process; toggling later is silently ignored.
-
-    Accepts uint32 / int32 / uint8 / uint16 / bool operands; int32 KEY
-    operands are order-mapped to uint32 by flipping the sign bit (and
-    mapped back after), narrow operands ride as widened uint32. Both
-    backends sort UNSTABLY: callers must have distinct key tuples or
+    is_stable=False: lax.sort DEFAULTS to stable, which the msort
+    contract explicitly does not promise — and XLA's stable variadic
+    sort pays real memory for it (measured: the 2-operand sort at
+    R = 4e8 allocates 13.5 GB of HLO temp stable vs fitting unstable,
+    the difference between the single-chip tier capping at ~250 vs
+    ~400 Mbp). Callers must have distinct key tuples or
     order-independent downstream semantics on ties (every engine call
     site does — the row payload operand is always distinct).
+
+    `site` labels the call site for profiling/debug. History: rounds
+    2-4 carried an opt-in Pallas bitonic route here; it measured
+    slower than XLA's sort at every size and crashed on re-execution
+    in the production configuration — removed in round 5
+    (docs/BSORT_POSTMORTEM.md).
     """
-    operands = tuple(operands)
-    R = operands[0].shape[0]
-    env_min = os.environ.get("DEBWT_SORT_MIN_PALLAS")
-    if env_min:
-        min_pallas = int(env_min)
-    elif min_pallas is None:
-        min_pallas = 1 << 31        # Pallas route off by default
-    sites = os.environ.get("DEBWT_PALLAS_SITES")   # debug: restrict by site
-    if sites and site not in sites.split(","):
-        min_pallas = 1 << 31
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("DEBWT_NO_PALLAS") != "1"
-        and R >= min_pallas
-    )
-    if not use_pallas:
-        # is_stable=False: lax.sort DEFAULTS to stable, which the
-        # msort contract explicitly does not promise — and XLA's
-        # stable variadic sort pays real memory for it (measured: the
-        # 2-operand sort at R = 4e8 allocates 13.5 GB of HLO temp
-        # stable vs fitting unstable, the difference between the
-        # single-chip tier capping at ~250 vs ~400 Mbp)
-        return jax.lax.sort(operands, num_keys=num_keys, is_stable=False)
-    from debwt_tpu.kernels.bsort import bitonic_sort
-
-    SIGN = jnp.uint32(0x80000000)
-
-    def enc(o, is_key):
-        if o.dtype == jnp.uint32:
-            return o
-        if o.dtype == jnp.int32:
-            u = jax.lax.bitcast_convert_type(o, jnp.uint32)
-            return u ^ SIGN if is_key else u
-        return o.astype(jnp.uint32)     # uint8/uint16/bool widen
-
-    def dec(u, o, is_key):
-        if o.dtype == jnp.uint32:
-            return u
-        if o.dtype == jnp.int32:
-            return jax.lax.bitcast_convert_type(
-                u ^ SIGN if is_key else u, jnp.int32
-            )
-        return u.astype(o.dtype)
-
-    enc_ops = [
-        enc(o, j < num_keys) for j, o in enumerate(operands)
-    ]
-    out = bitonic_sort(tuple(enc_ops), num_keys=num_keys)
-    return tuple(
-        dec(u, o, j < num_keys)
-        for j, (u, o) in enumerate(zip(out, operands))
-    )
+    del site
+    return jax.lax.sort(tuple(operands), num_keys=num_keys,
+                        is_stable=False)
 
 
 def run_boundaries(hi, lo):

@@ -163,92 +163,3 @@ def test_dist_from_sep_matches_naive(rng, R):
     ))
     nxt = sep[np.searchsorted(sep, np.arange(R))]
     np.testing.assert_array_equal(dist, nxt - np.arange(R))
-
-
-# ---------------------------------------------------------------------------
-# bitonic sort (kernels/bsort.py)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize(
-    "R,n_ops,nk",
-    [
-        (1000, 1, 1),
-        (1024, 2, 1),
-        (1025, 2, 2),
-        (5000, 3, 3),
-        (70001, 4, 3),
-        (3, 1, 1),
-    ],
-)
-def test_bitonic_sort_matches_lax(rng, R, n_ops, nk):
-    from debwt_tpu.kernels.bsort import bitonic_sort
-
-    ops_ = tuple(
-        jnp.asarray(
-            rng.integers(0, 1 << 32, size=R, dtype=np.uint64).astype(
-                np.uint32
-            )
-        )
-        for _ in range(n_ops)
-    )
-    # make the last operand distinct so unstable ties are pinned
-    ops_ = ops_[:-1] + (
-        jnp.asarray(np.arange(R, dtype=np.uint32)),
-    )
-    nk_eff = n_ops if nk >= n_ops else nk
-    want = jax.lax.sort(ops_, num_keys=n_ops)  # fully keyed = canonical
-    got = bitonic_sort(ops_, num_keys=nk_eff, tile_log2=10, interpret=True)
-    # compare canonically: sort both results by all operands
-    got_c = jax.lax.sort(tuple(got), num_keys=n_ops)
-    for w, g in zip(want, got_c):
-        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
-    # and the keyed prefix must already be sorted in emitted order
-    flat = np.asarray(got[0]).astype(object)
-    for g in got[1:nk_eff]:
-        flat = flat * (1 << 32) + np.asarray(g).astype(object)
-    assert (np.diff(flat) >= 0).all()
-
-
-def test_bitonic_sort_dup_keys_payload_set(rng):
-    """Duplicate keys: the emitted payload multiset per key group must
-    match lax.sort's (order within ties is unspecified)."""
-    from debwt_tpu.kernels.bsort import bitonic_sort
-
-    R = 4096 + 123
-    keys = jnp.asarray(rng.integers(0, 50, size=R).astype(np.uint32))
-    pay = jnp.asarray(np.arange(R, dtype=np.uint32))
-    k_s, p_s = bitonic_sort((keys, pay), num_keys=1, tile_log2=10,
-                            interpret=True)
-    k_w, p_w = jax.lax.sort((keys, pay), num_keys=1)
-    np.testing.assert_array_equal(np.asarray(k_s), np.asarray(k_w))
-    k_s, p_s, k_w, p_w = map(np.asarray, (k_s, p_s, k_w, p_w))
-    for v in np.unique(k_s):
-        assert set(p_s[k_s == v]) == set(p_w[k_w == v])
-
-
-def test_msort_signed_keys_round_trip(rng, monkeypatch):
-    """msort's sign-flip encoding must order int32 keys identically to
-    lax.sort (checked via the kernel in interpret mode)."""
-    from debwt_tpu import ops as O
-    from debwt_tpu.kernels import bsort
-
-    R = 3000
-    a = rng.integers(-(1 << 31), 1 << 31, size=R).astype(np.int32)
-    pay = np.arange(R, dtype=np.int32)
-    want = jax.lax.sort((jnp.asarray(a), jnp.asarray(pay)), num_keys=2)
-
-    monkeypatch.setattr(
-        jax, "default_backend", lambda: "tpu"
-    )  # force the pallas route; interpret auto-falls back off-TPU
-    orig = bsort.bitonic_sort
-
-    def interp(operands, num_keys=1, tile_log2=17, interpret=None):
-        return orig(operands, num_keys=num_keys, tile_log2=10,
-                    interpret=True)
-
-    monkeypatch.setattr(bsort, "bitonic_sort", interp)
-    got = O.msort((jnp.asarray(a), jnp.asarray(pay)), num_keys=2,
-                  min_pallas=1)
-    for w, g in zip(want, got):
-        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -80,26 +80,6 @@ def test_window_keys_tpu_parity(rng):
     )
 
 
-@pytest.mark.parametrize("R", [(1 << 17) + 99, 1 << 21])
-def test_bsort_tpu_parity_repeat(rng, R):
-    """The round-3 failure mode: REPEATED execution of the hardware
-    bitonic sort on duplicate-heavy (branch-dense analogue) keys at
-    sizes >= 2^17. Three runs, canonical comparison each time."""
-    from debwt_tpu.kernels.bsort import bitonic_sort
-
-    keys = rng.integers(0, 1 << 10, size=R).astype(np.uint32)  # dup-heavy
-    k2 = rng.integers(0, 4, size=R).astype(np.uint32)
-    pay = np.arange(R, dtype=np.uint32)
-    ops_ = (jnp.asarray(keys), jnp.asarray(k2), jnp.asarray(pay))
-    want = jax.lax.sort(ops_, num_keys=3)
-    want = tuple(np.asarray(w) for w in want)
-    for rep in range(3):
-        got = bitonic_sort(ops_, num_keys=2, interpret=False)
-        got_c = jax.lax.sort(tuple(got), num_keys=3)
-        for w, g in zip(want, got_c):
-            np.testing.assert_array_equal(np.asarray(g), w, err_msg=f"rep {rep}")
-
-
 # ---------------------------------------------------------------------------
 # pipeline on device
 # ---------------------------------------------------------------------------

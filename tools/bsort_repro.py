@@ -14,6 +14,13 @@ that pattern: run it on a real TPU; exit 0 = the runtime no longer
 exhibits the interference, non-zero/crash = repro'd (capture stderr).
 
 Usage: PYTHONPATH=/root/.axon_site python tools/bsort_repro.py [R_log2]
+
+NOTE (round 5): kernels/bsort.py was removed from the tree
+(docs/BSORT_POSTMORTEM.md) — run this script from a checkout that
+predates the removal (any round-4 commit). Both minimal variants ran
+GREEN on 2026-08-21 while the full-pipeline configuration
+(DEBWT_SORT_MIN_PALLAS=1 bench.py, same checkout) still crashed — the
+matrix is in the postmortem.
 """
 
 import functools
