@@ -103,6 +103,12 @@ class OocConfig:
     spill_dir: str | None = None
     sp_cap: int = 1 << 28
     checkpoint: bool = False
+    # ceiling on per-dispatch device rows; buckets larger than this
+    # take the oversized fallback (host full-key sort into
+    # node-boundary slabs; single-key giants reduced directly).
+    # Defaults to the segment-scan bound; tests shrink it to exercise
+    # the fallback at toy sizes.
+    bucket_cap: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -632,7 +638,7 @@ def build_bwt_ooc(
     # oversized fallback below: host full-key sort into node-boundary
     # slabs, with single-key giants reduced directly. The device cap
     # is sized by the largest NORMAL bucket.
-    DEV_BOUND = 1 << 26
+    DEV_BOUND = min(1 << 26, ooc.bucket_cap or (1 << 26))
     sizes_tot = store.sizes + np.bincount(spec_dest, minlength=nb)
     if int(sizes_tot.max(initial=16)) > DEV_BOUND:
         cap = DEV_BOUND
@@ -699,27 +705,35 @@ def build_bwt_ooc(
     hwm = 0                 # dirty prefix high-water mark
     spec_dirty = None       # last bucket's spec-row range in r_ord_b
     max_dev_rows = 0
-    for b in range(start_b, nb):
-        hi, lo, k16, pos = store.load(b, consume=not ckpt,
-                                      staging=staging)
+    counters = {"sp": sp_count if ckpt else 0,
+                "blue": blue_count if ckpt else 0}
+    base_box = [base]
+
+    def _emit(b_sp, b_blue):
+        if ckpt:
+            if b_sp is not None:
+                sp_f.write(np.ascontiguousarray(b_sp).tobytes())
+                counters["sp"] += b_sp.shape[0]
+            if b_blue is not None:
+                for f, arr in zip(bl_f, b_blue):
+                    f.write(np.ascontiguousarray(arr).tobytes())
+                counters["blue"] += b_blue[0].shape[0]
+        else:
+            if b_sp is not None:
+                sp_pos_parts.append(b_sp)
+            if b_blue is not None:
+                blue_parts.append(b_blue)
+
+    def _bucket_device(hi, lo, k16, pos, s_idx):
+        """One device classification of <= cap rows (mains + specs),
+        writing fills at base_box[0] and emitting SP/blue entries."""
+        nonlocal hwm, spec_dirty, max_dev_rows
         nmain = hi.shape[0]
-        smask = spec_dest == b
-        nspec = int(smask.sum())
+        nspec = s_idx.shape[0]
         n_rows = nmain + nspec
-        if n_rows == 0:
-            if ckpt:
-                state = {
-                    "fingerprint": fp, "stage": "B", "next_bucket": b + 1,
-                    "base": int(base), "sp_count": sp_count,
-                    "blue_count": blue_count,
-                    "sizes": store.sizes.tolist(),
-                    "splitters": splitters.tolist(),
-                }
-                _ckpt_save(ooc.spill_dir, state)
-                store.delete(b)
-            continue
+        bb = base_box[0]
         # restore the pristine state of the reused buffers where the
-        # previous bucket dirtied them (tail beyond this bucket's rows,
+        # previous call dirtied them (tail beyond this call's rows,
         # plus the spec-row patch in the arange-valued r_ord)
         if spec_dirty is not None:
             s0, s1 = spec_dirty
@@ -734,11 +748,11 @@ def build_bwt_ooc(
         r_lo_b[:nmain] = lo
         r_k16_b[:nmain] = k16
         if nspec:
-            r_hi_b[nmain:n_rows] = spec_hi[smask]
-            r_lo_b[nmain:n_rows] = spec_lo[smask]
+            r_hi_b[nmain:n_rows] = spec_hi[s_idx]
+            r_lo_b[nmain:n_rows] = spec_lo[s_idx]
             r_k16_b[nmain:n_rows] = 1 << 12
             r_ord_b[nmain:n_rows] = (
-                (spec_rank[smask] << 3) | sp.spec_bwt6[smask]
+                (spec_rank[s_idx] << 3) | sp.spec_bwt6[s_idx]
             ).astype(np.int32)
             spec_dirty = (nmain, n_rows)
         fill6, mo_row, mi_row, seg_start, ord_s, bwt3, total = (
@@ -751,7 +765,7 @@ def build_bwt_ooc(
         assert total == n_rows, (total, n_rows)
         max_dev_rows = max(max_dev_rows, cap)
         fill6 = np.asarray(jax.device_get(fill6))[:total]
-        bwt6[base : base + total] = fill6
+        bwt6[bb : bb + total] = fill6
         mo_h = np.asarray(jax.device_get(mo_row))[:total]
         mi_h = np.asarray(jax.device_get(mi_row))[:total]
         ord_h = np.asarray(jax.device_get(ord_s))[:total]
@@ -762,24 +776,100 @@ def build_bwt_ooc(
             char_h = np.asarray(jax.device_get(bwt3))[:total]
             mrows = np.nonzero(mi_h)[0]
             b_blue = (
-                base + seg_h[mrows].astype(np.int64),
+                bb + seg_h[mrows].astype(np.int64),
                 pos[ord_h[mrows]],
                 char_h[mrows],
             )
-        if ckpt:
-            if b_sp is not None:
-                sp_f.write(np.ascontiguousarray(b_sp).tobytes())
-                sp_count += b_sp.shape[0]
-            if b_blue is not None:
-                for f, arr in zip(bl_f, b_blue):
-                    f.write(np.ascontiguousarray(arr).tobytes())
-                blue_count += b_blue[0].shape[0]
+        _emit(b_sp, b_blue)
+        base_box[0] = bb + total
+
+    def _giant_run(k16r, posr, s_idx):
+        """A single node key with more rows than the device cap: its
+        rows are ONE segment, so the per-node facts are plain
+        reductions and the rows are order-free (case-2 rows all take
+        the same char; case-3 rows are blue slots whose order the SP
+        rank sort decides later). The reference cannot split a hot
+        node either — its balance machinery (src/mySort.c:98-110)
+        redistributes buckets, not nodes."""
+        bb = base_box[0]
+        cnt = k16r.shape[0]
+        choice = (k16r >> 8) & 15
+        head_any = bool((k16r & 8).any())
+        predf = k16r & 7
+        pv = np.unique(predf[predf < 4])
+        mo = bool((choice >= 4).any()) or np.unique(choice).shape[0] >= 2
+        mi = head_any or pv.shape[0] >= 2
+        if mo:
+            _emit(np.ascontiguousarray(posr), None)
+        if mi:
+            bwt6[bb : bb + cnt] = 0
+            bwt3 = ((k16r >> 4) & 7).astype(np.uint8)
+            _emit(None, (
+                np.full(cnt, bb, dtype=np.int64),
+                np.ascontiguousarray(posr),
+                bwt3,
+            ))
         else:
-            if b_sp is not None:
-                sp_pos_parts.append(b_sp)
-            if b_blue is not None:
-                blue_parts.append(b_blue)
-        base += total
+            assert pv.shape[0] == 1, pv
+            bwt6[bb : bb + cnt] = np.uint8(pv[0])
+        bb += cnt
+        if s_idx.shape[0]:
+            order = np.argsort(spec_rank[s_idx], kind="stable")
+            bwt6[bb : bb + s_idx.shape[0]] = sp.spec_bwt6[s_idx][order]
+            bb += s_idx.shape[0]
+        base_box[0] = bb
+
+    def _oversized_bucket(b, s_idx_all):
+        """Key-skew fallback (replaces the r04 hard assert): sort the
+        bucket's rows by FULL key on the host, classify node-boundary
+        slabs of <= cap rows through the normal device path, and
+        reduce single-key giant runs directly."""
+        hi, lo, k16, pos = store.load(b, consume=not ckpt)
+        key64 = (hi.astype(np.uint64) << np.uint64(32)) | lo
+        s_keys = sp.spec_tfill[s_idx_all]
+        nmain = key64.shape[0]
+        allk = np.concatenate([key64, s_keys])
+        order = np.argsort(allk, kind="stable")
+        allk_s = allk[order]
+        run_start = np.nonzero(np.concatenate(
+            [[True], allk_s[1:] != allk_s[:-1]]
+        ))[0]
+        run_end = np.concatenate([run_start[1:], [allk_s.shape[0]]])
+        i = 0
+        n_runs = run_start.shape[0]
+        while i < n_runs:
+            s0 = run_start[i]
+            if run_end[i] - s0 > cap:
+                rows = order[s0 : run_end[i]]
+                mrows = rows[rows < nmain]
+                srows = rows[rows >= nmain] - nmain
+                _giant_run(k16[mrows], pos[mrows], s_idx_all[srows])
+                i += 1
+                continue
+            j = i
+            while j + 1 < n_runs and run_end[j + 1] - s0 <= cap:
+                j += 1
+            rows = order[s0 : run_end[j]]
+            mrows = rows[rows < nmain]
+            srows = rows[rows >= nmain] - nmain
+            _bucket_device(
+                hi[mrows], lo[mrows], k16[mrows], pos[mrows],
+                s_idx_all[srows],
+            )
+            i = j + 1
+
+    for b in range(start_b, nb):
+        s_idx = np.nonzero(spec_dest == b)[0]
+        n_tot = int(store.sizes[b]) + s_idx.shape[0]
+        if n_tot > 0:
+            if n_tot > cap:
+                _say(f"bucket {b}: {n_tot} rows exceed the device cap "
+                     f"{cap} — oversized fallback (host key sort)")
+                _oversized_bucket(b, s_idx)
+            else:
+                hi, lo, k16, pos = store.load(b, consume=not ckpt,
+                                              staging=staging)
+                _bucket_device(hi, lo, k16, pos, s_idx)
         if ckpt:
             sp_f.flush()
             for f in bl_f:
@@ -787,14 +877,15 @@ def build_bwt_ooc(
             bwt6.flush()
             state = {
                 "fingerprint": fp, "stage": "B", "next_bucket": b + 1,
-                "base": int(base), "sp_count": sp_count,
-                "blue_count": blue_count,
+                "base": int(base_box[0]), "sp_count": counters["sp"],
+                "blue_count": counters["blue"],
                 "sizes": store.sizes.tolist(),
                 "splitters": splitters.tolist(),
             }
             _ckpt_save(ooc.spill_dir, state)
             store.delete(b)   # safe only after the manifest bump
         _malloc_trim()
+    base = base_box[0]
     assert base == N, (base, N)
     _mark("pass B (bucket sorts)")
     _say(f"pass B: {nb} buckets, device rows/bucket = {max_dev_rows}")

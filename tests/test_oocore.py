@@ -69,6 +69,54 @@ def test_ooc_repetitive_skew(rng):
     _check(coll, PipelineConfig(m=14), OocConfig(chunk=200, n_buckets=8))
 
 
+def test_ooc_oversized_bucket_fallback(rng):
+    """Pathological repeat (VERDICT r04 item 5): ~20% of the text is
+    ONE repeated 31-mer, so a single node group dwarfs every bucket
+    cap — unsplittable by any number of buckets since node groups must
+    stay bucket-local. bucket_cap forces the oversized path (host
+    full-key sort + giant-run reduction) at toy scale; output must be
+    byte-identical to golden."""
+    motif = "".join(rng.choice(list("ACGT"), size=31))
+    parts = []
+    for _ in range(40):
+        parts.append(motif)
+        parts.append("".join(rng.choice(list("ACGT"), size=124)))
+    reads = [
+        "".join(parts),
+        "".join(parts[:20]) + "".join(rng.choice(list("ACGT"), size=50)),
+    ]
+    coll = SequenceCollection.from_reads(reads)
+    stats = {}
+    _check(
+        coll, PipelineConfig(m=32),
+        OocConfig(chunk=512, n_buckets=4, bucket_cap=512),
+        stats=stats,
+    )
+    # and with a cap so small even the giant-run path must fire on the
+    # hot node group (its occurrences exceed the cap)
+    _check(
+        coll, PipelineConfig(m=32),
+        OocConfig(chunk=512, n_buckets=2, bucket_cap=32),
+    )
+
+
+def test_ooc_giant_run_multi_out_single_in(rng):
+    """A giant run that is multi-out but single-in (case 2 at scale):
+    the reduction path must emit the fill run, not blue slots."""
+    # same 33-char context 'C' + motif ensures one predecessor base;
+    # varying the char after the motif makes the node multi-out
+    motif = "".join(rng.choice(list("ACGT"), size=32))
+    parts = []
+    for i in range(50):
+        parts.append("C" + motif + "ACGT"[i % 4])
+        parts.append("".join(rng.choice(list("ACGT"), size=37)))
+    coll = SequenceCollection.from_reads(["".join(parts)])
+    _check(
+        coll, PipelineConfig(m=32),
+        OocConfig(chunk=512, n_buckets=2, bucket_cap=24),
+    )
+
+
 def test_blue_coordinates_past_2_32():
     # bucket bases beyond 2^32: int64 coordinate arithmetic is exact
     BIG = np.int64(2**32 + 12345)
