@@ -9,8 +9,9 @@ middle path that NEVER ships keys across the link:
 
   * the 2-bit packed text stays resident in HBM (0.25 GB/Gbp);
   * the key space is cut into G groups by sampled equal-depth
-    splitters on the leading window chars (the balance role of the
-    reference's bucket histograms, src/mySort.c:98-110);
+    splitters on full 62-bit node keys (the balance role of the
+    reference's bucket histograms, src/mySort.c:98-110, at maximal
+    depth — any hot shared prefix can be split);
   * per group, ONE device program re-derives every row from the text
     (window keys via the Pallas kernel), keeps the rows whose keys
     fall in the group's range (compaction by sort: masked rows carry
@@ -406,9 +407,13 @@ def build_bwt_grouped(
 
     # packed text with a 16-char T prologue (predecessor reads at chunk
     # starts) and a T tail covering the last chunk's window lookahead
+    from debwt_tpu.special import _cached_buf
+
     ext_len = 16 + (n_chunks - 1) * C + E
-    x2ext = np.full(ext_len, K.T, dtype=np.uint8)
+    x2ext = _cached_buf("grouped_ext", ext_len)
+    x2ext[:16] = K.T
     x2ext[16 : 16 + N] = coll.x2
+    x2ext[16 + N :] = K.T
     x2w_ext = jax.device_put(jnp.asarray(ops.pack_2bit_words_host(x2ext)))
     del x2ext
     sep_d = jnp.asarray(

