@@ -95,7 +95,10 @@ def rank_suffixes(x6p: np.ndarray, positions: np.ndarray, limit: int) -> np.ndar
 # call (profiled: the special module's warm cost is allocator noise,
 # not compute). Bounded so a single huge build can't pin tens of GB.
 _BUF_CACHE: dict = {}
-_BUF_CACHE_MAX = 1_600_000_000
+# covers the grouped tier's full span (N < 3.75e9); the ooc tier calls
+# build_special once per multi-hour run, so pinning is pointless there
+# and 30 Gbp inputs skip the cache entirely
+_BUF_CACHE_MAX = 4_300_000_000
 
 
 def _cached_buf(name: str, size: int) -> np.ndarray:
