@@ -86,10 +86,17 @@ class GroupedConfig:
              error; overflow is detected and retried with more groups).
     """
 
-    cap: int = int(os.environ.get("DEBWT_GROUPED_CAP", 240_000_000))
+    # None -> DEBWT_GROUPED_CAP env var (read per build, not at
+    # import) -> 240M, the measured-safe HBM point on a 16 GB chip
+    cap: int | None = None
     chunk: int = 1 << 27
     sp_cap: int = 1 << 28
     fill: float = 0.85
+
+    def resolved_cap(self) -> int:
+        if self.cap is not None:
+            return self.cap
+        return int(os.environ.get("DEBWT_GROUPED_CAP", 240_000_000))
 
 
 class GroupOverflow(RuntimeError):
@@ -398,7 +405,8 @@ def build_bwt_grouped(
     assert n_spec < (1 << 28), n_spec
     _mark("special module (host)")
 
-    cap = gcfg.cap - (gcfg.cap % 4)
+    cap = gcfg.resolved_cap()
+    cap -= cap % 4
     C = min(gcfg.chunk, _pow2(max(1024, N)))
     C -= C % 16
     n_chunks = -(-N // C)

@@ -101,6 +101,25 @@ def test_grouped_overflow_raises(rng):
         )
 
 
+def test_api_falls_back_to_ooc_on_overflow(monkeypatch, rng):
+    """A single node key exceeding the group cap must not abort
+    api.build: it falls back to the out-of-core tier's giant-bucket
+    path (byte-identical)."""
+    from debwt_tpu import api
+
+    read = np.zeros(3000, dtype=np.uint8)   # all-A: one hot node key
+    coll = SequenceCollection.from_reads([read])
+    monkeypatch.setenv("DEBWT_SINGLE_MAX_ROWS", "64")
+    monkeypatch.setenv("DEBWT_GROUPED_CAP", "256")
+    monkeypatch.setattr(api, "_SINGLE_ROWS", 2)   # dist gate off
+    res = api.build(coll, PipelineConfig(m=32))
+    from debwt_tpu.golden import golden_bwt
+
+    want = golden_bwt(coll)
+    assert (res.bwt6 == want.bwt6).all()
+    assert res.dollar_pos == want.dollar_pos
+
+
 def test_api_routes_grouped(monkeypatch, make_reads):
     from debwt_tpu import api
 
